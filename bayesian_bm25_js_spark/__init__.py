@@ -1,0 +1,37 @@
+"""bayesian_bm25_js_spark — a PySpark-native inverted-index + Bayesian-BM25 engine.
+
+A from-scratch Spark engine with the query and data-processing
+capabilities of the reference library cognica-io/bayesian-bm25-js
+(studied read-only at /root/reference): BM25 full-text retrieval with
+Bayesian probability calibration, score fusion, WAND/BMW pruning,
+neural-score calibrators, calibration metrics, multi-field search and
+explanation tracing — re-expressed Spark-first (DataFrame/Catalyst for
+the relational dataflow, vectorized NumPy/Arrow kernels for the
+numeric layer, driver-side state for the tiny sequential learners).
+
+Layout:
+  functions/  pure NumPy numeric kernels + driver-side learners
+              (bit-parity ports of the reference formulas)
+  operators/  Spark DataFrame operators: index build, scoring, top-k,
+              WAND, multi-field, dedup, similarity, text stats
+  sources/    corpus synthesis/readers, index persistence, checkpoints
+  plans/      plan inspection helpers (explain/shuffle audits)
+  streaming/  foreachBatch online-update wiring
+"""
+
+__version__ = "0.1.0"
+
+from bayesian_bm25_js_spark.functions.kernel import (  # noqa: F401
+    EPSILON,
+    clamp_probability,
+    sigmoid,
+    logit,
+    tf_prior,
+    norm_prior,
+    composite_prior,
+    posterior,
+)
+from bayesian_bm25_js_spark.functions.transform import (  # noqa: F401
+    BayesianProbabilityTransform,
+    TemporalBayesianTransform,
+)
