@@ -1,0 +1,225 @@
+"""Corpus-driven parameter estimation (alpha, beta, base rate).
+
+Port of the reference's pseudo-query sampling + estimators
+(scorer.ts:199-446) on top of the distributed engine:
+
+1. mulberry32(42) Fisher–Yates sample of min(n, 50) doc ids — bit-exact
+   PRNG (functions/prng.py), driver-side over the doc count only;
+2. pull the ≤50 sampled docs' first-5-token pseudo-queries with one
+   broadcast semi-join (never collects the corpus);
+3. one batched scoring job for all pseudo-queries; keep scores > 0;
+4. exact driver NumPy estimators — percentile / mixture-EM / elbow are
+   order-of-operations ports; Spark's approximate percentiles are NOT
+   used (parity requirement, SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bayesian_bm25_js_spark.functions.prng import (
+    mulberry32,
+    sample_without_replacement,
+)
+from bayesian_bm25_js_spark.operators.index_build import InvertedIndex
+from bayesian_bm25_js_spark.operators.scoring import queries_to_df, score_queries
+
+VALID_BASE_RATE_METHODS = ("percentile", "mixture", "elbow")
+
+SAMPLE_SEED = 42  # scorer.ts:204
+SAMPLE_CAP = 50  # scorer.ts:203
+PSEUDO_QUERY_LEN = 5  # scorer.ts:212
+
+
+def median_js(values: np.ndarray) -> float:
+    """JS median (scorer.ts:70-77): sort ascending, even length averages
+    the two middles."""
+    s = np.sort(values)
+    mid = len(s) // 2
+    if len(s) % 2 == 0:
+        return float((s[mid - 1] + s[mid]) / 2)
+    return float(s[mid])
+
+
+def stddev_population(values: np.ndarray) -> float:
+    """Population stddev, /n (scorer.ts:79-92)."""
+    n = len(values)
+    if n == 0:
+        return 0.0
+    mean = float(np.sum(values)) / n
+    return math.sqrt(float(np.sum((values - mean) ** 2)) / n)
+
+
+def sample_pseudo_query_scores(
+    index: InvertedIndex, docs_tokens=None
+) -> List[np.ndarray]:
+    """Per-pseudo-query positive score arrays (scorer.ts:199-226).
+
+    docs_tokens: optional docs DataFrame (doc_id, tokens) to pull the
+    sampled docs' tokens from; required because the index itself does
+    not retain token order (postings lose it). At 10^12-doc scale this
+    is a broadcast semi-join touching ≤50 rows.
+    """
+    n = index.n_docs
+    if n == 0:
+        return []
+    sample_size = min(n, SAMPLE_CAP)
+    rng = mulberry32(SAMPLE_SEED)
+    sample_indices = sample_without_replacement(n, sample_size, rng)
+
+    spark = index.spark
+    ids_df = spark.createDataFrame(
+        [(int(i),) for i in sample_indices], "doc_id long"
+    )
+    sampled = (
+        docs_tokens.join(F.broadcast(ids_df), "doc_id")
+        .select("doc_id", F.slice("tokens", 1, PSEUDO_QUERY_LEN).alias("q"))
+        .collect()
+    )
+    tokens_by_id = {r["doc_id"]: list(r["q"]) for r in sampled}
+
+    # Pseudo-queries in sampled order, skipping empty docs (scorer.ts:210)
+    queries = []
+    for idx in sample_indices:
+        q = tokens_by_id.get(idx, [])
+        if q:
+            queries.append(q)
+    if not queries:
+        return []
+
+    qdf = queries_to_df(spark, queries)
+    scored = score_queries(index, qdf)
+    rows = (
+        scored.filter(F.col("score") > 0)
+        .groupBy("query_id")
+        .agg(F.collect_list("score").alias("scores"))
+        .collect()
+    )
+    by_qid = {r["query_id"]: np.asarray(r["scores"], dtype=np.float64) for r in rows}
+    return [by_qid[qid] for qid in range(len(queries)) if qid in by_qid and len(by_qid[qid]) > 0]
+
+
+def estimate_parameters(
+    per_query_scores: List[np.ndarray],
+    user_alpha: Optional[float],
+    user_beta: Optional[float],
+) -> Tuple[float, float]:
+    """beta = median(pooled), alpha = 1/std (population); user overrides
+    fall back individually (scorer.ts:228-253)."""
+    if user_alpha is not None and user_beta is not None:
+        return user_alpha, user_beta
+    if not per_query_scores:
+        return (
+            user_alpha if user_alpha is not None else 1.0,
+            user_beta if user_beta is not None else 0.0,
+        )
+    all_scores = np.concatenate(per_query_scores)
+    est_beta = median_js(all_scores)
+    score_std = stddev_population(all_scores)
+    est_alpha = 1.0 / score_std if score_std > 0 else 1.0
+    return (
+        user_alpha if user_alpha is not None else est_alpha,
+        user_beta if user_beta is not None else est_beta,
+    )
+
+
+def base_rate_percentile(
+    per_query_scores: List[np.ndarray], n_docs: int
+) -> float:
+    """95th-percentile heuristic (scorer.ts:276-300): per query, the
+    fraction of docs at/above the ceil(0.95*len)-1 ascending-sorted
+    threshold; mean over queries; clamp [1e-6, 0.5]."""
+    ratios = []
+    for scores in per_query_scores:
+        s = np.sort(scores)
+        p_idx = math.ceil(len(s) * 0.95) - 1
+        threshold = s[max(0, p_idx)]
+        n_above = int(np.count_nonzero(scores >= threshold))
+        ratios.append(n_above / n_docs)
+    base_rate = sum(ratios) / len(ratios)
+    return max(1e-6, min(0.5, base_rate))
+
+
+def base_rate_mixture(per_query_scores: List[np.ndarray]) -> float:
+    """2-component Gaussian EM, 20 iterations, median-split init,
+    log-sum-exp responsibilities (scorer.ts:303-406)."""
+    if not per_query_scores:
+        return 1e-6
+    all_scores = np.concatenate(per_query_scores)
+    if len(all_scores) < 2:
+        return 1e-6
+
+    median_val = median_js(all_scores)
+    lo = all_scores[all_scores <= median_val]
+    hi = all_scores[all_scores > median_val]
+
+    mu0 = float(np.mean(lo)) if len(lo) > 0 else median_val - 1.0
+    mu1 = float(np.mean(hi)) if len(hi) > 0 else median_val + 1.0
+    var0 = max(float(np.mean((lo - mu0) ** 2)) if len(lo) > 0 else 1.0, 1e-8)
+    var1 = max(float(np.mean((hi - mu1) ** 2)) if len(hi) > 0 else 1.0, 1e-8)
+    pi1 = 0.5
+    n = len(all_scores)
+
+    for _ in range(20):
+        std0, std1 = math.sqrt(var0), math.sqrt(var1)
+        log_p0 = -0.5 * ((all_scores - mu0) / std0) ** 2 - math.log(std0)
+        log_p1 = -0.5 * ((all_scores - mu1) / std1) ** 2 - math.log(std1)
+        log_w0 = math.log(max(1.0 - pi1, 1e-10)) + log_p0
+        log_w1 = math.log(max(pi1, 1e-10)) + log_p1
+        max_log = np.maximum(log_w0, log_w1)
+        log_total = max_log + np.log(
+            np.exp(log_w0 - max_log) + np.exp(log_w1 - max_log)
+        )
+        gamma = np.exp(log_w1 - log_total)
+
+        n_eff1 = float(np.sum(gamma))
+        n_eff0 = float(np.sum(1.0 - gamma))
+        if n_eff0 < 1e-8 or n_eff1 < 1e-8:
+            break
+        mu0 = float(np.sum((1.0 - gamma) * all_scores)) / n_eff0
+        mu1 = float(np.sum(gamma * all_scores)) / n_eff1
+        var0 = max(float(np.sum((1.0 - gamma) * (all_scores - mu0) ** 2)) / n_eff0, 1e-8)
+        var1 = max(float(np.sum(gamma * (all_scores - mu1) ** 2)) / n_eff1, 1e-8)
+        pi1 = n_eff1 / n
+
+    base_rate = pi1 if mu1 >= mu0 else 1.0 - pi1
+    return max(1e-6, min(0.5, base_rate))
+
+
+def base_rate_elbow(per_query_scores: List[np.ndarray]) -> float:
+    """Knee of the descending score curve by max perpendicular distance
+    to the chord (scorer.ts:409-446); baseRate = max(1, kneeIdx)/n."""
+    if not per_query_scores:
+        return 1e-6
+    all_scores = np.sort(np.concatenate(per_query_scores))[::-1]
+    n = len(all_scores)
+    if n < 3:
+        return 1e-6
+    dx = n - 1
+    dy = all_scores[-1] - all_scores[0]
+    line_len = math.sqrt(dx * dx + dy * dy)
+    if line_len < 1e-12:
+        return 1e-6
+    i = np.arange(n)
+    dist = np.abs(dy * i - dx * (all_scores - all_scores[0])) / line_len
+    knee_idx = int(np.argmax(dist))
+    base_rate = max(1, knee_idx) / n
+    return max(1e-6, min(0.5, base_rate))
+
+
+def estimate_base_rate(
+    per_query_scores: List[np.ndarray], n_docs: int, method: str
+) -> float:
+    if not per_query_scores:
+        return 1e-6
+    if method == "percentile":
+        return base_rate_percentile(per_query_scores, n_docs)
+    if method == "mixture":
+        return base_rate_mixture(per_query_scores)
+    if method == "elbow":
+        return base_rate_elbow(per_query_scores)
+    raise ValueError(f'Unknown baseRateMethod: "{method}"')

@@ -1,0 +1,163 @@
+"""Inverted-index construction as a Catalyst dataflow.
+
+Re-expresses the reference's in-memory index build (bm25.ts:52-102) as
+DataFrame jobs designed for 100 TB corpora:
+
+  docs (doc_id, tokens)
+    └─ doc_stats (doc_id, dl)                  narrow projection
+    └─ explode → groupBy(doc_id, term) tf      shuffle 1 (partial agg
+                                               map-side combines dup
+                                               tokens before shuffle)
+         └─ groupBy(term) df → idf             shuffle 2 (tiny after
+                                               map-side combine: ≤ one
+                                               row per (partition, term))
+         └─ postings = tf ⋈ term_stats         AQE-planned; broadcast
+                                               when vocab is small,
+                                               skew-split otherwise
+
+`dl` rides along the explode (functionally dependent on doc_id) so
+postings are denormalized (term, doc_id, tf, dl) and query scoring
+never joins doc stats. Scalars (n_docs, avgdl) are one tiny agg.
+
+Skew note: code-corpora vocabularies are Zipfian — keywords like `the`
+or `def` can dominate. The df aggregation is immune (map-side combine),
+and the idf join is handled by AQE skew-join splitting; postings
+storage is hash-bucketed by term so query joins co-locate without a
+full shuffle (see sources/index_store.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VALID_METHODS = ("robertson", "lucene", "atire")
+
+
+def idf_column(df_col, n_docs: int, method: str):
+    """IDF variants (bm25.ts:90-102). robertson and lucene are
+    algebraically identical; atire = log(n/df)."""
+    n = F.lit(float(n_docs))
+    if method == "robertson":
+        return F.log((n - df_col + 0.5) / (df_col + 0.5) + 1.0)
+    if method == "lucene":
+        return F.log(1.0 + (n - df_col + 0.5) / (df_col + 0.5))
+    if method == "atire":
+        return F.log(n / df_col)
+    raise ValueError(f"method must be one of {VALID_METHODS}, got {method!r}")
+
+
+@dataclass
+class InvertedIndex:
+    """Distributed index state: three tables + driver scalars."""
+
+    spark: SparkSession
+    postings: DataFrame  # (term, doc_id, tf, dl) — doc-sorted per term
+    term_stats: DataFrame  # (term, df, idf)
+    doc_stats: DataFrame  # (doc_id, dl)
+    n_docs: int
+    avgdl: float
+    k1: float
+    b: float
+    method: str
+
+    def tf_norm_column(self, tf_col, dl_col):
+        """BM25 term-frequency normalisation (bm25.ts:119-121):
+        tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))."""
+        k1 = F.lit(self.k1)
+        b = F.lit(self.b)
+        avgdl = F.lit(self.avgdl)
+        return (tf_col * (k1 + F.lit(1.0))) / (
+            tf_col + k1 * (F.lit(1.0) - b + b * (dl_col / avgdl))
+        )
+
+    def unpersist(self) -> None:
+        for df in (self.postings, self.term_stats, self.doc_stats):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    method: str = "robertson",
+    cache: bool = True,
+    vocab_broadcast_threshold: int = 2_000_000,
+) -> InvertedIndex:
+    """docs (doc_id, tokens array<string>) -> InvertedIndex.
+
+    Matches reference semantics: dl = raw token count including
+    duplicates (bm25.ts:54), avgdl = total/n (bm25.ts:60), tf = exact
+    per-(doc, term) count (bm25.ts:66-70), df = posting count
+    (bm25.ts:82-84).
+    """
+    if method not in VALID_METHODS:
+        raise ValueError(f"method must be one of {VALID_METHODS}, got {method!r}")
+    spark = docs.sparkSession
+
+    base = docs.select("doc_id", F.size("tokens").alias("dl"), "tokens")
+
+    stats_row = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+    ).collect()[0]
+    n_docs = int(stats_row["n"] or 0)
+    total_len = int(stats_row["total"] or 0)
+    avgdl = total_len / n_docs if n_docs > 0 else 0.0
+
+    doc_stats = base.select("doc_id", "dl")
+
+    # shuffle 1: per-(doc, term) tf with map-side partial aggregation
+    tf_df = (
+        base.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+    # shuffle 2: document frequency (tiny stream after partial agg)
+    term_stats = (
+        tf_df.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("idf", idf_column(F.col("df"), n_docs, method))
+    )
+
+    vocab_size = None
+    join_stats = term_stats.select("term", "idf")
+    if vocab_broadcast_threshold:
+        # Broadcast the vocab side when it is plausibly small; AQE will
+        # also auto-broadcast below its threshold. We probe lazily only
+        # in local mode to avoid an extra job on giant builds.
+        try:
+            if spark.conf.get("spark.master", "").startswith("local"):
+                vocab_size = term_stats.count()
+                if vocab_size <= vocab_broadcast_threshold:
+                    join_stats = F.broadcast(join_stats)
+        except Exception:
+            pass
+
+    postings = tf_df.join(join_stats, "term").select(
+        "term", "doc_id", "tf", "dl", "idf"
+    )
+
+    if cache:
+        postings = postings.persist()
+        doc_stats = doc_stats.persist()
+        term_stats = term_stats.persist()
+
+    return InvertedIndex(
+        spark=spark,
+        postings=postings,
+        term_stats=term_stats,
+        doc_stats=doc_stats,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        k1=k1,
+        b=b,
+        method=method,
+    )

@@ -1,0 +1,241 @@
+"""BayesianBM25SparkScorer — the engine's top-level retrieval facade.
+
+Spark-native equivalent of the reference BayesianBM25Scorer
+(scorer.ts:106-616): index() builds the distributed inverted index and
+auto-estimates (alpha, beta, baseRate); retrieve() answers batched
+top-k queries with calibrated probabilities; get_probabilities()
+returns the dense per-doc probability vector used by multi-field
+fusion; explain=True attaches the full per-doc trace columns
+(likelihood, priors, posterior — debug.ts:146-190).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bayesian_bm25_js_spark.functions.transform import (
+    BayesianProbabilityTransform,
+)
+from bayesian_bm25_js_spark.operators.estimate import (
+    VALID_BASE_RATE_METHODS,
+    estimate_base_rate,
+    estimate_parameters,
+    sample_pseudo_query_scores,
+)
+from bayesian_bm25_js_spark.operators.index_build import (
+    InvertedIndex,
+    build_inverted_index,
+)
+from bayesian_bm25_js_spark.operators.scoring import (
+    calibrate,
+    densify_scores,
+    queries_to_df,
+    score_queries,
+    top_k,
+)
+
+
+class BayesianBM25SparkScorer:
+    """Distributed BM25 scorer returning Bayesian-calibrated probabilities.
+
+    Parameters mirror the reference (scorer.ts:118-135): k1, b, method,
+    optional explicit alpha/beta, base_rate (None | float | "auto"),
+    base_rate_method in {percentile, mixture, elbow}.
+    """
+
+    def __init__(
+        self,
+        k1: float = 1.2,
+        b: float = 0.75,
+        method: str = "robertson",
+        alpha: Optional[float] = None,
+        beta: Optional[float] = None,
+        base_rate=None,
+        base_rate_method: str = "percentile",
+    ) -> None:
+        if base_rate_method not in VALID_BASE_RATE_METHODS:
+            raise ValueError(
+                'baseRateMethod must be one of "percentile", "mixture", '
+                f'"elbow", got "{base_rate_method}"'
+            )
+        self.k1 = k1
+        self.b = b
+        self.method = method
+        self._user_alpha = alpha
+        self._user_beta = beta
+        self._user_base_rate = base_rate
+        self._base_rate_method = base_rate_method
+        self._index: Optional[InvertedIndex] = None
+        self._docs: Optional[DataFrame] = None
+        self._transform: Optional[BayesianProbabilityTransform] = None
+
+    # -- state accessors -----------------------------------------------------
+    @property
+    def index_(self) -> InvertedIndex:
+        self._ensure_indexed()
+        return self._index
+
+    @property
+    def num_docs(self) -> int:
+        self._ensure_indexed()
+        return self._index.n_docs
+
+    @property
+    def avgdl(self) -> float:
+        self._ensure_indexed()
+        return self._index.avgdl
+
+    @property
+    def base_rate(self) -> Optional[float]:
+        if self._transform is None:
+            return None
+        return self._transform.base_rate
+
+    @property
+    def transform(self) -> BayesianProbabilityTransform:
+        self._ensure_indexed()
+        return self._transform
+
+    def _ensure_indexed(self) -> None:
+        if self._index is None:
+            raise RuntimeError("Call index() before querying.")
+
+    # -- build ----------------------------------------------------------------
+    def index(self, docs: DataFrame) -> "BayesianBM25SparkScorer":
+        """docs (doc_id long, tokens array<string>) -> build index +
+        estimate parameters (scorer.ts:163-197)."""
+        self._docs = docs
+        self._index = build_inverted_index(
+            docs, k1=self.k1, b=self.b, method=self.method
+        )
+
+        per_query_scores = sample_pseudo_query_scores(self._index, docs)
+        alpha, beta = estimate_parameters(
+            per_query_scores, self._user_alpha, self._user_beta
+        )
+
+        base_rate = None
+        if self._user_base_rate == "auto":
+            base_rate = estimate_base_rate(
+                per_query_scores, self._index.n_docs, self._base_rate_method
+            )
+        elif isinstance(self._user_base_rate, (int, float)) and not isinstance(
+            self._user_base_rate, bool
+        ):
+            base_rate = float(self._user_base_rate)
+
+        self._transform = BayesianProbabilityTransform(alpha, beta, base_rate)
+        return self
+
+    def add_documents(self, new_docs: DataFrame) -> "BayesianBM25SparkScorer":
+        """Append + full rebuild including parameter re-estimation
+        (scorer.ts:453-459). New docs must carry doc_ids continuing the
+        existing range."""
+        self._ensure_indexed()
+        self.index(self._docs.unionByName(new_docs))
+        return self
+
+    # -- query ----------------------------------------------------------------
+    def _score(self, queries: Sequence[Sequence[str]], dense: bool) -> DataFrame:
+        spark = self._index.spark
+        qdf = queries_to_df(spark, queries)
+        scores = score_queries(self._index, qdf)
+        if dense:
+            qids = spark.createDataFrame(
+                [(i,) for i in range(len(queries))], "query_id long"
+            )
+            scores = densify_scores(self._index, scores, qids)
+        return scores
+
+    def retrieve(
+        self,
+        queries: Sequence[Sequence[str]],
+        k: int = 10,
+        explain: bool = False,
+        dense: bool = True,
+    ) -> DataFrame:
+        """-> (query_id, rank, doc_id, score, probability [, trace cols]).
+
+        dense=True replicates reference semantics where zero-score docs
+        fill out ranks k beyond the matched set (tie-broken by ascending
+        doc_id). dense=False is the production path: only matched docs
+        rank (identical output whenever k <= matched count).
+        """
+        self._ensure_indexed()
+        t = self._transform
+        scored = top_k(self._score(queries, dense), k)
+        out = calibrate(
+            scored,
+            self._index,
+            t.alpha,
+            t.beta,
+            t.base_rate,
+            mode=t.training_mode,
+            prior_fn=t._prior_fn,
+        )
+        if explain:
+            out = self._with_trace(out)
+        return out.select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "score",
+            "probability",
+            *(TRACE_COLUMNS if explain else []),
+        )
+
+    def get_probabilities(self, query_tokens: Sequence[str]) -> DataFrame:
+        """Dense per-doc probabilities for one query (scorer.ts:532-547):
+        -> (doc_id, score, probability) with one row per corpus doc."""
+        self._ensure_indexed()
+        t = self._transform
+        scores = self._score([list(query_tokens)], dense=True)
+        return calibrate(
+            scores,
+            self._index,
+            t.alpha,
+            t.beta,
+            t.base_rate,
+            mode=t.training_mode,
+            prior_fn=t._prior_fn,
+        ).select("doc_id", "score", "tf_overlap", "dl", "probability")
+
+    # -- explain --------------------------------------------------------------
+    def _with_trace(self, scored: DataFrame) -> DataFrame:
+        """Attach per-row trace columns equal to FusionDebugger.traceBM25
+        (debug.ts:146-190), computed as Catalyst expressions."""
+        t = self._transform
+        alpha, beta, br = t.alpha, t.beta, t.base_rate
+        x = F.lit(alpha) * (F.col("score") - F.lit(beta))
+        lik = F.when(
+            x >= 0, 1.0 / (1.0 + F.exp(-x))
+        ).otherwise(F.exp(x) / (1.0 + F.exp(x)))
+        tfp = 0.2 + 0.7 * F.least(F.lit(1.0), F.col("tf_overlap") / 10.0)
+        dlr = F.col("dl") / F.lit(self._index.avgdl)
+        npr = 0.3 + 0.6 * (1.0 - F.least(F.lit(1.0), F.abs(dlr - 0.5) * 2.0))
+        comp = F.greatest(F.lit(0.1), F.least(F.lit(0.9), 0.7 * tfp + 0.3 * npr))
+        active = F.col("score") > 0
+        out = (
+            scored.withColumn("likelihood", F.when(active, lik))
+            .withColumn("tf_prior", F.when(active, tfp))
+            .withColumn("norm_prior", F.when(active, npr))
+            .withColumn("composite_prior", F.when(active, comp))
+            .withColumn("doc_len_ratio", F.when(active, dlr))
+            .withColumn(
+                "posterior", F.when(active, F.col("probability"))
+            )
+        )
+        return out
+
+
+TRACE_COLUMNS = [
+    "likelihood",
+    "tf_prior",
+    "norm_prior",
+    "composite_prior",
+    "doc_len_ratio",
+    "posterior",
+]

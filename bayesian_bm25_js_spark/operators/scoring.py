@@ -1,0 +1,158 @@
+"""Query scoring: broadcast join + ordered aggregation + window top-k.
+
+The reference's postings walk (bm25.ts:105-127) becomes:
+
+  query_terms (tiny)  ── broadcast ──┐
+  postings (term, doc_id, tf, dl, idf) ⋈ on term      no shuffle of the
+                                                      big side beyond its
+                                                      stored partitioning
+    → contrib = idf * tf_norm per (query term, doc)
+    → groupBy(query_id, doc_id):
+        score = ORDERED sum of contribs by query-token position
+        tf    = |distinct matched terms| (the prior's overlap count,
+                scorer.ts:549-564)
+        dl    = first(dl)
+    → window top-k (desc score, asc doc_id)           rank-identical
+                                                      tie-break (JS
+                                                      stable sort)
+    → calibration pandas UDF (Arrow-vectorized NumPy kernel)
+
+Float64 parity details:
+* duplicate query tokens contribute twice — the query side keeps one
+  row per token position, never deduped (bm25.ts:110);
+* per-doc contributions are summed in query-token order via
+  array_sort(collect_list(struct(pos, contrib))) + aggregate(), because
+  float64 addition is not associative (SURVEY §4.4);
+* zero-score docs get probability exactly 0.0 (scorer.ts:577-593).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+from bayesian_bm25_js_spark.operators.index_build import InvertedIndex
+
+
+def queries_to_df(spark: SparkSession, queries: Sequence[Sequence[str]]) -> DataFrame:
+    """[[token,...], ...] -> (query_id, pos, term), duplicates preserved."""
+    rows = [
+        (qid, pos, term)
+        for qid, tokens in enumerate(queries)
+        for pos, term in enumerate(tokens)
+    ]
+    return spark.createDataFrame(rows, "query_id long, pos int, term string")
+
+
+def probability_udf(
+    alpha: float,
+    beta: float,
+    base_rate: Optional[float],
+    mode: str = "balanced",
+    prior_fn=None,
+):
+    """Arrow-vectorized calibration kernel: (score, tf, dlr) -> probability.
+
+    Runs the exact NumPy two-step posterior (functions/kernel.py) so
+    distributed results match the driver oracle bit-for-bit.
+    """
+    from bayesian_bm25_js_spark.functions.kernel import score_to_probability
+
+    @pandas_udf("double")
+    def _prob(score: pd.Series, tf: pd.Series, dlr: pd.Series) -> pd.Series:
+        out = score_to_probability(
+            score.to_numpy(dtype=np.float64),
+            tf.to_numpy(dtype=np.float64),
+            dlr.to_numpy(dtype=np.float64),
+            alpha,
+            beta,
+            base_rate,
+            mode=mode,
+            prior_fn=prior_fn,
+        )
+        return pd.Series(np.asarray(out, dtype=np.float64))
+
+    return _prob
+
+
+def score_queries(index: InvertedIndex, query_terms: DataFrame) -> DataFrame:
+    """-> (query_id, doc_id, score, tf_overlap, dl) for matched docs only.
+
+    Sparse output: docs with no matching term are absent (score
+    semantically 0).
+    """
+    contrib = index.tf_norm_column(F.col("tf"), F.col("dl")) * F.col("idf")
+    joined = index.postings.join(F.broadcast(query_terms), "term").select(
+        "query_id",
+        "doc_id",
+        "pos",
+        "term",
+        "dl",
+        contrib.alias("contrib"),
+    )
+    ordered_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("pos", "contrib"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["contrib"],
+    )
+    return joined.groupBy("query_id", "doc_id").agg(
+        ordered_sum.alias("score"),
+        F.size(F.collect_set("term")).alias("tf_overlap"),
+        F.first("dl").alias("dl"),
+    )
+
+
+def densify_scores(
+    index: InvertedIndex, scores: DataFrame, query_ids: DataFrame
+) -> DataFrame:
+    """Reference dense semantics: every (query, doc) pair exists; missing
+    scores become exactly 0.0 (bm25.ts:108). Only viable at fixture
+    scale — production uses the sparse path."""
+    all_pairs = query_ids.crossJoin(index.doc_stats)
+    return (
+        all_pairs.join(scores, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+            F.coalesce(F.col("tf_overlap"), F.lit(0)).alias("tf_overlap"),
+            F.coalesce(scores["dl"], all_pairs["dl"]).alias("dl"),
+        )
+    )
+
+
+def top_k(scores: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k with the mandatory (desc score, asc doc_id)
+    tie-break (bm25.ts:139-144 via JS stable sort)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def calibrate(
+    scored: DataFrame,
+    index: InvertedIndex,
+    alpha: float,
+    beta: float,
+    base_rate: Optional[float],
+    mode: str = "balanced",
+    prior_fn=None,
+) -> DataFrame:
+    """Attach calibrated probability; zero scores pinned to exactly 0.0."""
+    udf = probability_udf(alpha, beta, base_rate, mode, prior_fn)
+    dlr = F.col("dl") / F.lit(index.avgdl)
+    prob = F.when(
+        F.col("score") > 0.0,
+        udf(F.col("score"), F.col("tf_overlap").cast("double"), dlr),
+    ).otherwise(F.lit(0.0))
+    return scored.withColumn("probability", prob)

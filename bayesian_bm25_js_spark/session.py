@@ -1,0 +1,37 @@
+"""SparkSession helpers with engine-appropriate defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "bayesian-bm25-spark",
+) -> SparkSession:
+    """Build a SparkSession tuned for the engine.
+
+    Defaults follow the sandbox contract (local[$SPARK_GRAFT_CPUS]);
+    on a real cluster pass master=None with spark-submit providing the
+    master. AQE is enabled for skew-join splitting and shuffle
+    coalescing; Arrow for the pandas-UDF calibration kernels.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
