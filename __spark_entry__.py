@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship calibrated-BM25 top-k over sf0.001.
+queries(): one entry per implemented operator (SURVEY.md §2), each
+  (spark, sf_dir) -> DataFrame.
+oracle_sql(): DuckDB-equivalent ANSI SQL per query, run side-by-side by
+  the correctness driver at sf0.01 (row-count + schema + value-hash).
+
+Float policy: every floating output column is rounded (6 dp) in BOTH
+engines, and ranks are computed over the rounded score, so last-ulp
+differences between JVM/NumPy/DuckDB libm never flip a hash or a rank.
 """
 
 from __future__ import annotations
@@ -12,27 +16,575 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Fixed calibration parameters for oracle-checkable queries (estimation
+# itself is exercised by tests/test_spark_scorer.py; an oracle needs
+# literal alpha/beta to be SQL-expressible).
+ALPHA, BETA, BASE_RATE = 1.0, 0.5, 0.05
+K1, B = 1.2, 0.75
+TOPK = 10
+
+# Reference-style query workload over the synthetic documents vocab.
+QUERY_SET = [
+    ["spark", "query"],
+    ["hash", "join", "table"],
+    ["window", "agg"],
+    ["stream", "filter", "sort", "merge"],
+    ["table", "table", "scan"],  # duplicate term: contributes twice
+]
+
+_QUERY_VALUES_SQL = ", ".join(
+    f"({qid}, '{term}')"
+    for qid, terms in enumerate(QUERY_SET)
+    for term in terms
+)
+
+BLOCK_SIZE = 128
+BLOCK_TERMS = ["spark", "table", "join", "window"]
+_BLOCK_TERMS_SQL = ", ".join(f"'{t}'" for t in BLOCK_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# shared Spark-side builders
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bayesian_bm25_js_spark.operators.tokenize import tokenize_column
+
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", tokenize_column(F.col("text")).alias("tokens"))
+    )
+
+
+_INDEX_CACHE: dict = {}
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    from bayesian_bm25_js_spark.operators.index_build import build_inverted_index
+
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_inverted_index(
+            _docs(spark, sf_dir), k1=K1, b=B, method="lucene"
+        )
+    return _INDEX_CACHE[key]
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bayesian_bm25_js_spark.operators.scoring import queries_to_df, score_queries
+
+    idx = _index(spark, sf_dir)
+    return score_queries(idx, queries_to_df(spark, QUERY_SET)), idx
+
+
+def _ranked_topk(scores: DataFrame, k: int = TOPK) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id")
+    )
+    return scores.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir)
+    return idx.doc_stats.orderBy("doc_id")
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir)
+    return (
+        idx.term_stats.select(
+            "term", "df", F.round("idf", 6).alias("idf_r")
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )
+
+
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir)
+    return (
+        idx.postings.filter(F.col("term").isin(BLOCK_TERMS))
+        .select("term", "doc_id", "tf", "dl")
+        .orderBy("term", "doc_id")
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores, _ = _scored(spark, sf_dir)
+    return _ranked_topk(scores).select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score_r")
+    ).orderBy("query_id", "rank")
+
+
+def q_bm25_calibrated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bayesian_bm25_js_spark.operators.scoring import calibrate
+
+    scores, idx = _scored(spark, sf_dir)
+    top = _ranked_topk(scores)
+    out = calibrate(top, idx, ALPHA, BETA, BASE_RATE)
+    return out.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round("score", 6).alias("score_r"),
+        F.round("probability", 6).alias("prob_r"),
+    ).orderBy("query_id", "rank")
+
+
+def q_dense_probabilities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-doc probabilities for one query (getProbabilities
+    semantics, scorer.ts:532-547): missing docs exactly 0.0."""
+    from bayesian_bm25_js_spark.operators.scoring import (
+        calibrate,
+        densify_scores,
+        queries_to_df,
+        score_queries,
+    )
+
+    idx = _index(spark, sf_dir)
+    q = [["spark", "query", "table"]]
+    scores = score_queries(idx, queries_to_df(spark, q))
+    qids = spark.createDataFrame([(0,)], "query_id long")
+    dense = densify_scores(idx, scores, qids)
+    out = calibrate(dense, idx, ALPHA, BETA, BASE_RATE)
+    return out.select(
+        "doc_id",
+        F.round("score", 6).alias("score_r"),
+        F.round("probability", 6).alias("prob_r"),
+    ).orderBy("doc_id")
+
+
+def q_block_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max metadata (scorer.ts:641-674): per-(term, block) max BM25
+    contribution, blockSize 128."""
+    idx = _index(spark, sf_dir)
+    contrib = idx.tf_norm_column(F.col("tf"), F.col("dl")) * F.col("idf")
+    return (
+        idx.postings.filter(F.col("term").isin(BLOCK_TERMS))
+        .withColumn("block_id", F.floor(F.col("doc_id") / BLOCK_SIZE).cast("int"))
+        .groupBy("term", "block_id")
+        .agg(F.round(F.max(contrib), 6).alias("block_max_r"))
+        .orderBy("term", "block_id")
+    )
+
+
+def q_wand_upper_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian WAND bound per (term, block) (probability.ts:346-368,
+    scorer.ts:689-697): posterior(sigmoid(alpha*(ub-beta)), 0.9, br)."""
+    idx = _index(spark, sf_dir)
+    contrib = idx.tf_norm_column(F.col("tf"), F.col("dl")) * F.col("idf")
+    ub = F.max(contrib)
+    x = F.lit(ALPHA) * (ub - F.lit(BETA))
+    lik = F.when(x >= 0, 1.0 / (1.0 + F.exp(-x))).otherwise(
+        F.exp(x) / (1.0 + F.exp(x))
+    )
+    p1 = lik * 0.9 / (lik * 0.9 + (1.0 - lik) * 0.1)
+    p1c = F.greatest(F.lit(1e-10), F.least(F.lit(1.0 - 1e-10), p1))
+    p2 = (p1c * BASE_RATE) / (p1c * BASE_RATE + (1.0 - p1c) * (1.0 - BASE_RATE))
+    p2c = F.greatest(F.lit(1e-10), F.least(F.lit(1.0 - 1e-10), p2))
+    return (
+        idx.postings.filter(F.col("term").isin(BLOCK_TERMS))
+        .withColumn("block_id", F.floor(F.col("doc_id") / BLOCK_SIZE).cast("int"))
+        .groupBy("term", "block_id")
+        .agg(F.round(p2c, 6).alias("bound_r"))
+        .orderBy("term", "block_id")
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over embeddings vs vec_id=0, JVM-side
+    sequential dot products (zip_with + aggregate)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    ref = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("ref"))
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    out = (
+        emb.crossJoin(F.broadcast(ref))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            (
+                dot(F.col("v"), F.col("ref"))
+                / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("ref"), F.col("ref"))))
+            ).alias("cos"),
+        )
+    )
+    w = Window.orderBy(F.desc(F.round(F.col("cos"), 6)), F.asc("vec_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "rank",
+            "vec_id",
+            F.round("cos", 6).alias("cos_r"),
+            F.round(
+                F.greatest(
+                    F.lit(1e-10),
+                    F.least(F.lit(1.0 - 1e-10), (1.0 + F.col("cos")) / 2.0),
+                ),
+                6,
+            ).alias("prob_r"),
+        )
+        .orderBy("rank")
+    )
+
+
+def q_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram as a distributed aggregate (metrics.ts:73-105)
+    over a deterministic probability/label assignment."""
+    from bayesian_bm25_js_spark.functions.metrics import reliability_diagram_df
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        ((F.col("vec_id") % 100) / 100.0 + 0.005).alias("prob"),
+        (F.col("label") >= 1).cast("int").alias("lbl"),
+    )
+    out = reliability_diagram_df(emb, "prob", "lbl", n_bins=10)
+    return out.select(
+        F.col("__bin").alias("bin"),
+        F.round("avg_pred", 6).alias("avg_pred_r"),
+        F.round("avg_actual", 6).alias("avg_actual_r"),
+        "count",
+    )
+
+
+def q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        ((F.col("vec_id") % 100) / 100.0 + 0.005).alias("prob"),
+        (F.col("label") >= 1).cast("int").alias("lbl"),
+    )
+    return emb.agg(
+        F.round(
+            F.avg((F.col("prob") - F.col("lbl")) * (F.col("prob") - F.col("lbl"))),
+            6,
+        ).alias("brier_r")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + fingerprint dedup (training-data pipeline op): group by
+    md5 of the leading 5-token shingle (a rolling-fingerprint proxy),
+    keep collision groups with the min doc_id as keeper."""
+    from bayesian_bm25_js_spark.operators.tokenize import tokenize_column
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", tokenize_column(F.col("text")).alias("toks")
+    )
+    fp = F.md5(F.array_join(F.slice("toks", 1, 5), " "))
+    return (
+        docs.select(fp.alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n") > 1)
+        .select("h", "n", "keeper")
+        .orderBy("h")
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text-quality features: token count, distinct ratio,
+    mean token length (training-data pipeline op)."""
+    from bayesian_bm25_js_spark.operators.tokenize import tokenize_column
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", tokenize_column(F.col("text")).alias("toks")
+    )
+    return docs.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.round(
+            F.aggregate(
+                F.transform("toks", lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size("toks"),
+            6,
+        ).alias("mean_tok_len_r"),
+    ).orderBy("doc_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: calibrated BM25 top-10 at sf0.001."""
+    return q_bm25_calibrated_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "doc_stats": q_doc_stats,
+        "term_stats": q_term_stats,
+        "postings": q_postings,
+        "bm25_topk": q_bm25_topk,
+        "bm25_calibrated_topk": q_bm25_calibrated_topk,
+        "dense_probabilities": q_dense_probabilities,
+        "block_max": q_block_max,
+        "wand_upper_bounds": q_wand_upper_bounds,
+        "cosine_topk": q_cosine_topk,
+        "reliability_bins": q_reliability_bins,
+        "brier": q_brier,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_TOKS = (
+    "SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), "
+    "'[^a-z0-9]+'), t -> t <> '')) AS term FROM documents"
+)
+
+_BM25_CTES = f"""
+toks AS ({_TOKS}),
+doc_stats AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY doc_id),
+consts AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT coalesce(sum(dl), 0) FROM doc_stats)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY doc_id, term),
+term_stats AS (
+  SELECT term, count(*) AS df,
+         ln(1.0 + ((SELECT n_docs FROM consts) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM tf GROUP BY term
+),
+q(query_id, term) AS (VALUES {_QUERY_VALUES_SQL}),
+contribs AS (
+  SELECT q.query_id, tf.doc_id, tf.term, ds.dl,
+         ts.idf * (tf.tf * ({K1} + 1.0))
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * ds.dl / (SELECT avgdl FROM consts))) AS contrib
+  FROM q
+  JOIN tf USING (term)
+  JOIN term_stats ts USING (term)
+  JOIN doc_stats ds ON tf.doc_id = ds.doc_id
+),
+scored AS (
+  SELECT query_id, doc_id, sum(contrib) AS score,
+         count(DISTINCT term) AS tf_overlap, any_value(dl) AS dl
+  FROM contribs GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score, tf_overlap, dl,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+"""
+
+_SIGMOID = (
+    "CASE WHEN {x} >= 0 THEN 1.0 / (1.0 + exp(-({x}))) "
+    "ELSE exp({x}) / (1.0 + exp({x})) END"
+)
+
+
+def _posterior_sql(score_expr: str, tf_expr: str, dlr_expr: str) -> str:
+    lik = _SIGMOID.format(x=f"{ALPHA} * (({score_expr}) - {BETA})")
+    tfp = f"(0.2 + 0.7 * least(1.0, ({tf_expr}) / 10.0))"
+    npr = f"(0.3 + 0.6 * (1.0 - least(1.0, abs(({dlr_expr}) - 0.5) * 2.0)))"
+    comp = f"greatest(0.1, least(0.9, 0.7 * {tfp} + 0.3 * {npr}))"
+    p1 = f"(({lik}) * {comp}) / (({lik}) * {comp} + (1.0 - ({lik})) * (1.0 - {comp}))"
+    p1c = f"greatest(1e-10, least(1.0 - 1e-10, {p1}))"
+    p2 = (
+        f"(({p1c}) * {BASE_RATE}) / "
+        f"(({p1c}) * {BASE_RATE} + (1.0 - ({p1c})) * (1.0 - {BASE_RATE}))"
+    )
+    return f"greatest(1e-10, least(1.0 - 1e-10, {p2}))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    avgdl = "(SELECT avgdl FROM consts)"
+    post = _posterior_sql("score", "tf_overlap", f"dl / {avgdl}")
+    dot = "list_dot_product(e.v, r.v)"
+    norm = "sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(r.v, r.v))"
+    return {
+        "doc_stats": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   t -> t <> ''))::INT AS dl
+            FROM documents ORDER BY doc_id
+        """,
+        "term_stats": f"""
+            WITH {_BM25_CTES}
+            SELECT term, df, round(idf, 6) AS idf_r FROM term_stats
+            ORDER BY df DESC, term ASC LIMIT 100
+        """,
+        "postings": f"""
+            WITH {_BM25_CTES}
+            SELECT tf.term, tf.doc_id, tf.tf, ds.dl
+            FROM tf JOIN doc_stats ds ON tf.doc_id = ds.doc_id
+            WHERE tf.term IN ({_BLOCK_TERMS_SQL})
+            ORDER BY tf.term, tf.doc_id
+        """,
+        "bm25_topk": f"""
+            WITH {_BM25_CTES}
+            SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score_r
+            FROM ranked WHERE rank <= {TOPK}
+            ORDER BY query_id, rank
+        """,
+        "bm25_calibrated_topk": f"""
+            WITH {_BM25_CTES}
+            SELECT query_id, rank::INT AS rank, doc_id,
+                   round(score, 6) AS score_r,
+                   round({post}, 6) AS prob_r
+            FROM ranked WHERE rank <= {TOPK}
+            ORDER BY query_id, rank
+        """,
+        "dense_probabilities": f"""
+            WITH toks AS ({_TOKS}),
+            doc_stats AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY doc_id),
+            consts AS (
+              SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                     (SELECT coalesce(sum(dl), 0) FROM doc_stats)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY doc_id, term),
+            term_stats AS (
+              SELECT term, count(*) AS df,
+                     ln(1.0 + ((SELECT n_docs FROM consts) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+              FROM tf GROUP BY term
+            ),
+            q(query_id, term) AS (VALUES (0, 'spark'), (0, 'query'), (0, 'table')),
+            contribs AS (
+              SELECT q.query_id, tf.doc_id, tf.term, ds.dl,
+                     ts.idf * (tf.tf * ({K1} + 1.0))
+                       / (tf.tf + {K1} * (1.0 - {B} + {B} * ds.dl / (SELECT avgdl FROM consts))) AS contrib
+              FROM q JOIN tf USING (term)
+                     JOIN term_stats ts USING (term)
+                     JOIN doc_stats ds ON tf.doc_id = ds.doc_id
+            ),
+            scored AS (
+              SELECT doc_id, sum(contrib) AS score,
+                     count(DISTINCT term) AS tf_overlap, any_value(dl) AS dl
+              FROM contribs GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   round(coalesce(s.score, 0.0), 6) AS score_r,
+                   CASE WHEN coalesce(s.score, 0.0) > 0
+                        THEN round({_posterior_sql('s.score', 's.tf_overlap', 's.dl / (SELECT avgdl FROM consts)')}, 6)
+                        ELSE 0.0 END AS prob_r
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+            ORDER BY d.doc_id
+        """,
+        "block_max": f"""
+            WITH {_BM25_CTES}
+            SELECT tf.term, (tf.doc_id // {BLOCK_SIZE})::INT AS block_id,
+                   round(max(ts.idf * (tf.tf * ({K1} + 1.0))
+                     / (tf.tf + {K1} * (1.0 - {B} + {B} * ds.dl / (SELECT avgdl FROM consts)))), 6) AS block_max_r
+            FROM tf JOIN term_stats ts USING (term)
+                    JOIN doc_stats ds ON tf.doc_id = ds.doc_id
+            WHERE tf.term IN ({_BLOCK_TERMS_SQL})
+            GROUP BY tf.term, (tf.doc_id // {BLOCK_SIZE})::INT
+            ORDER BY term, block_id
+        """,
+        "wand_upper_bounds": f"""
+            WITH {_BM25_CTES},
+            bm AS (
+              SELECT tf.term, (tf.doc_id // {BLOCK_SIZE})::INT AS block_id,
+                     max(ts.idf * (tf.tf * ({K1} + 1.0))
+                       / (tf.tf + {K1} * (1.0 - {B} + {B} * ds.dl / (SELECT avgdl FROM consts)))) AS ub
+              FROM tf JOIN term_stats ts USING (term)
+                      JOIN doc_stats ds ON tf.doc_id = ds.doc_id
+              WHERE tf.term IN ({_BLOCK_TERMS_SQL})
+              GROUP BY tf.term, (tf.doc_id // {BLOCK_SIZE})::INT
+            )
+            SELECT term, block_id,
+                   round(greatest(1e-10, least(1.0 - 1e-10,
+                     (greatest(1e-10, least(1.0 - 1e-10,
+                        (({_SIGMOID.format(x=f'{ALPHA} * (ub - {BETA})')}) * 0.9)
+                        / (({_SIGMOID.format(x=f'{ALPHA} * (ub - {BETA})')}) * 0.9
+                           + (1.0 - ({_SIGMOID.format(x=f'{ALPHA} * (ub - {BETA})')})) * 0.1)
+                     )) * {BASE_RATE})
+                     / (greatest(1e-10, least(1.0 - 1e-10,
+                        (({_SIGMOID.format(x=f'{ALPHA} * (ub - {BETA})')}) * 0.9)
+                        / (({_SIGMOID.format(x=f'{ALPHA} * (ub - {BETA})')}) * 0.9
+                           + (1.0 - ({_SIGMOID.format(x=f'{ALPHA} * (ub - {BETA})')})) * 0.1)
+                     )) * {BASE_RATE}
+                        + (1.0 - greatest(1e-10, least(1.0 - 1e-10,
+                           (({_SIGMOID.format(x=f'{ALPHA} * (ub - {BETA})')}) * 0.9)
+                           / (({_SIGMOID.format(x=f'{ALPHA} * (ub - {BETA})')}) * 0.9
+                              + (1.0 - ({_SIGMOID.format(x=f'{ALPHA} * (ub - {BETA})')})) * 0.1)
+                        ))) * (1.0 - {BASE_RATE}))
+                   )), 6) AS bound_r
+            FROM bm ORDER BY term, block_id
+        """,
+        "cosine_topk": f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            r AS (SELECT v FROM emb WHERE vec_id = 0),
+            sims AS (
+              SELECT e.vec_id, {dot} / ({norm}) AS cos
+              FROM emb e CROSS JOIN r WHERE e.vec_id <> 0
+            ),
+            rk AS (
+              SELECT vec_id, cos,
+                     row_number() OVER (ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+              FROM sims
+            )
+            SELECT rank::INT AS rank, vec_id, round(cos, 6) AS cos_r,
+                   round(greatest(1e-10, least(1.0 - 1e-10, (1.0 + cos) / 2.0)), 6) AS prob_r
+            FROM rk WHERE rank <= 20 ORDER BY rank
+        """,
+        "reliability_bins": """
+            WITH pl AS (
+              SELECT (vec_id % 100) / 100.0 + 0.005 AS prob,
+                     CASE WHEN label >= 1 THEN 1 ELSE 0 END AS lbl
+              FROM embeddings
+            ),
+            binned AS (
+              SELECT CASE WHEN prob <= 0.1 THEN 0
+                          ELSE CAST(ceil(prob / 0.1) AS INT) - 1 END AS bin,
+                     prob, lbl
+              FROM pl
+            )
+            SELECT bin, round(avg(prob), 6) AS avg_pred_r,
+                   round(avg(lbl), 6) AS avg_actual_r,
+                   count(*) AS count
+            FROM binned GROUP BY bin ORDER BY bin
+        """,
+        "brier": """
+            SELECT round(avg(power((vec_id % 100) / 100.0 + 0.005
+                   - CASE WHEN label >= 1 THEN 1 ELSE 0 END, 2)), 6) AS brier_r
+            FROM embeddings
+        """,
+        "dedup_exact": """
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(array_to_string(
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   t -> t <> '')[1:5], ' ')) AS h
+              FROM documents
+            )
+            SELECT h, count(*) AS n, min(doc_id) AS keeper
+            FROM fp GROUP BY h HAVING count(*) > 1
+            ORDER BY h
+        """,
+        "text_stats": f"""
+            WITH tok_lists AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(toks)::INT AS n_tokens,
+                   len(list_distinct(toks))::INT AS n_distinct,
+                   round(list_sum(list_transform(toks, t -> length(t)::DOUBLE))
+                         / len(toks), 6) AS mean_tok_len_r
+            FROM tok_lists ORDER BY doc_id
+        """,
+    }
