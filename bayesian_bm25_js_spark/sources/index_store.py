@@ -1,0 +1,108 @@
+"""Index persistence: term-partitioned parquet + metadata/lineage JSON.
+
+Layout under <path>/:
+  postings/        parquet, repartitioned by hash(term) into n_buckets,
+                   rows sorted (term, doc_id) within files — co-locates
+                   each term's postings for merge/compaction and keeps
+                   doc-sorted order for delta encoding
+  packed/          optional delta+varint block table (compression.py)
+  block_max/       (term, block_id, max_contrib) BMW metadata
+  term_stats/      (term, df, idf)
+  doc_stats/       (doc_id, dl)
+  meta.json        scalars (n_docs, avgdl, k1, b, method), calibration
+                   params (alpha, beta, base_rate), build metrics and
+                   per-partition lineage
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from bayesian_bm25_js_spark.operators.index_build import InvertedIndex
+
+
+def _partition_lineage(df, key: str) -> list:
+    """Per-output-partition row counts — the lineage/metrics sidecar."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    return [{"partition": int(r["pid"]), "rows": int(r["rows"]), "table": key} for r in rows]
+
+
+def save_index(
+    index: InvertedIndex,
+    path: str,
+    transform_params: Optional[dict] = None,
+    n_buckets: int = 32,
+    packed: bool = False,
+    block_size: int = 128,
+) -> dict:
+    """Persist the index; returns the metadata dict written to meta.json."""
+    t0 = time.time()
+    postings = index.postings.repartition(n_buckets, "term").sortWithinPartitions(
+        "term", "doc_id"
+    )
+    postings.write.mode("overwrite").parquet(f"{path}/postings")
+    index.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+    index.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+
+    lineage = _partition_lineage(
+        index.spark.read.parquet(f"{path}/postings"), "postings"
+    )
+
+    if packed:
+        from bayesian_bm25_js_spark.operators.compression import pack_postings
+
+        pack_postings(index, block_size).repartition(
+            n_buckets, "term"
+        ).write.mode("overwrite").parquet(f"{path}/packed")
+
+    from bayesian_bm25_js_spark.operators.compression import block_max_table
+
+    block_max_table(index, block_size).write.mode("overwrite").parquet(
+        f"{path}/block_max"
+    )
+
+    meta = {
+        "n_docs": index.n_docs,
+        "avgdl": index.avgdl,
+        "k1": index.k1,
+        "b": index.b,
+        "method": index.method,
+        "n_buckets": n_buckets,
+        "block_size": block_size,
+        "packed": packed,
+        "transform": transform_params or {},
+        "build_seconds": round(time.time() - t0, 3),
+        "lineage": lineage,
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+def load_index(spark: SparkSession, path: str) -> tuple:
+    """-> (InvertedIndex, transform_params dict)."""
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    index = InvertedIndex(
+        spark=spark,
+        postings=spark.read.parquet(f"{path}/postings"),
+        term_stats=spark.read.parquet(f"{path}/term_stats"),
+        doc_stats=spark.read.parquet(f"{path}/doc_stats"),
+        n_docs=meta["n_docs"],
+        avgdl=meta["avgdl"],
+        k1=meta["k1"],
+        b=meta["b"],
+        method=meta["method"],
+    )
+    return index, meta.get("transform", {})

@@ -1,0 +1,213 @@
+"""M3/M4 tests: posting compression, block-max, WAND pruning safety,
+index persistence, checkpointed resumable builds."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from tests.conftest import SMALL_CORPUS, docs_df
+from tests.oracle import OracleBM25
+
+from bayesian_bm25_js_spark.functions.prng import mulberry32
+from bayesian_bm25_js_spark.operators.compression import (
+    block_max_table,
+    pack_postings,
+    unpack_postings,
+    varint_decode,
+    varint_encode,
+)
+from bayesian_bm25_js_spark.operators.index_build import build_inverted_index
+from bayesian_bm25_js_spark.operators.scoring import (
+    queries_to_df,
+    score_queries,
+    top_k,
+)
+from bayesian_bm25_js_spark.operators.wand import wand_topk
+
+
+def random_corpus(n_docs=400, vocab=50, seed=5):
+    rng = mulberry32(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    corpus = []
+    for _ in range(n_docs):
+        length = 3 + int(rng() * 18)
+        # Zipf-ish: square the draw to favor low indices
+        corpus.append([words[int((rng() ** 2) * vocab)] for _ in range(length)])
+    return corpus
+
+
+@pytest.fixture(scope="module")
+def rnd_index(spark):
+    corpus = random_corpus()
+    idx = build_inverted_index(
+        docs_df(spark, corpus), k1=1.2, b=0.75, method="lucene"
+    )
+    return corpus, idx
+
+
+def test_varint_roundtrip():
+    rng = mulberry32(9)
+    vals = [int(rng() * 10**(1 + int(rng() * 8))) for _ in range(500)]
+    assert varint_decode(varint_encode(np.array(vals))) == vals
+    assert varint_decode(varint_encode(np.array([]))) == []
+    assert varint_decode(varint_encode(np.array([0]))) == [0]
+
+
+def test_pack_unpack_roundtrip(rnd_index):
+    _, idx = rnd_index
+    packed = pack_postings(idx, block_size=64)
+    restored = unpack_postings(packed, block_size=64)
+    orig = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in idx.postings.select("term", "doc_id", "tf").collect()
+    }
+    rest = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in restored.select("term", "doc_id", "tf").collect()
+    }
+    assert rest == orig
+
+
+def test_packed_blocks_are_small_and_sorted(rnd_index):
+    _, idx = rnd_index
+    packed = pack_postings(idx, block_size=64).collect()
+    for r in packed:
+        assert 1 <= r["n"] <= 64
+        assert r["block_id"] == r["min_doc_id"] // 64 == r["max_doc_id"] // 64
+        gaps = varint_decode(bytes(r["doc_deltas"]))
+        assert len(gaps) == r["n"]
+        doc_ids = np.cumsum(gaps) + r["block_id"] * 64
+        assert doc_ids[0] == r["min_doc_id"] and doc_ids[-1] == r["max_doc_id"]
+        assert (np.diff(doc_ids) > 0).all()
+
+
+def test_block_count_rule(spark):
+    """nBlocks = ceil(nDocs/bs) (tests/bmw.test.ts:42-51) for a term
+    present in every doc."""
+    cases = [(100, 64, 2), (128, 64, 2), (129, 64, 3), (1, 64, 1), (64, 64, 1)]
+    for n_docs, bs, want in cases:
+        corpus = [["common", f"x{i % 7}"] for i in range(n_docs)]
+        idx = build_inverted_index(docs_df(spark, corpus), method="lucene")
+        bm = block_max_table(idx, block_size=bs)
+        got = bm.filter("term = 'common'").count()
+        assert got == want, (n_docs, bs)
+
+
+def test_block_max_dominates_members(rnd_index):
+    """Block bound >= every member contribution, <= global max
+    (tests/bmw.test.ts:66-114 invariants)."""
+    corpus, idx = rnd_index
+    oracle = OracleBM25(1.2, 0.75, "lucene")
+    oracle.index(corpus)
+    bm = {
+        (r["term"], r["block_id"]): r["max_contrib"]
+        for r in block_max_table(idx, block_size=64).collect()
+    }
+    global_max = {}
+    for term, postings in oracle.inverted.items():
+        idf = oracle.idf[term]
+        for doc_id, tf in postings:
+            dl = oracle.doc_lengths[doc_id]
+            contrib = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / oracle.avgdl))
+            key = (term, doc_id // 64)
+            assert bm[key] >= contrib - 1e-12
+            global_max[term] = max(global_max.get(term, 0.0), contrib)
+    for (term, _), v in bm.items():
+        assert v <= global_max[term] + 1e-12
+
+
+@pytest.mark.parametrize("k", [1, 5, 20])
+def test_wand_equals_exhaustive(spark, rnd_index, k):
+    """Core safety property: pruned top-k rank-identical to exhaustive."""
+    corpus, idx = rnd_index
+    queries = [
+        ["w0", "w3"],
+        ["w1", "w7", "w19"],
+        ["w2", "w2", "w11"],  # duplicate token
+        ["w40", "w49"],  # rare terms
+        ["nope"],  # unknown term
+    ]
+    qdf = queries_to_df(spark, queries)
+    plain = top_k(score_queries(idx, qdf), k)
+    pruned = wand_topk(idx, qdf, k, block_size=64)
+    a = [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 12))
+        for r in plain.orderBy("query_id", "rank").collect()
+    ]
+    b = [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 12))
+        for r in pruned.orderBy("query_id", "rank").collect()
+    ]
+    assert a == b
+
+
+def test_wand_actually_prunes(spark):
+    """A selective term concentrated in one block prunes the rest: the
+    needle block's lower bound exceeds every hay-only block's upper
+    bound."""
+    corpus = [
+        (["needle", "hay"] if i < 10 else ["hay", f"x{i % 5}"])
+        for i in range(200)
+    ]
+    idx = build_inverted_index(docs_df(spark, corpus), method="lucene")
+    qdf = queries_to_df(spark, [["needle", "hay"]])
+    ranked, stats = wand_topk(idx, qdf, 2, block_size=16, return_stats=True)
+    row = stats.collect()[0]
+    assert row["blocks_total"] == 13  # 200/16 blocks all contain hay
+    assert row["blocks_kept"] < row["blocks_total"]
+    # and the result is still the exhaustive top-k
+    plain = top_k(score_queries(idx, qdf), 2)
+    assert [
+        (r["doc_id"], r["score"]) for r in ranked.orderBy("rank").collect()
+    ] == [(r["doc_id"], r["score"]) for r in plain.orderBy("rank").collect()]
+
+
+def test_save_load_roundtrip(spark, rnd_index, tmp_path):
+    corpus, idx = rnd_index
+    from bayesian_bm25_js_spark.sources.index_store import load_index, save_index
+
+    path = str(tmp_path / "idx")
+    meta = save_index(idx, path, transform_params={"alpha": 1.5, "beta": 0.2},
+                      packed=True, block_size=64)
+    assert meta["n_docs"] == idx.n_docs
+    assert meta["lineage"]
+    idx2, params = load_index(spark, path)
+    assert params == {"alpha": 1.5, "beta": 0.2}
+    assert idx2.n_docs == idx.n_docs and idx2.avgdl == idx.avgdl
+    qdf = queries_to_df(spark, [["w0", "w5"]])
+    a = top_k(score_queries(idx, qdf), 5).orderBy("rank").collect()
+    b = top_k(score_queries(idx2, qdf), 5).orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_checkpointed_build_resumes(spark, tmp_path):
+    from bayesian_bm25_js_spark.sources.checkpoints import (
+        checkpointed_build,
+        read_metrics,
+        stage_done,
+    )
+
+    path = str(tmp_path / "ckpt")
+    corpus = spark.createDataFrame(
+        [(i, " ".join(doc)) for i, doc in enumerate(SMALL_CORPUS)],
+        "doc_id long, content string",
+    )
+    idx, params = checkpointed_build(spark, corpus, path, method="lucene")
+    assert idx.n_docs == len(SMALL_CORPUS)
+    assert stage_done(path, "docs") and stage_done(path, "postings") and stage_done(path, "params")
+    assert params["alpha"] is not None
+
+    # Resume with a DIFFERENT corpus: sealed stages must be loaded, not
+    # recomputed — result still reflects the original build.
+    other = spark.createDataFrame(
+        [(0, "totally different text")], "doc_id long, content string"
+    )
+    idx2, params2 = checkpointed_build(spark, other, path, method="lucene")
+    assert idx2.n_docs == len(SMALL_CORPUS)
+    assert params2 == params
+    docs_metrics = read_metrics(path, "docs")
+    assert docs_metrics["rows"] == len(SMALL_CORPUS)
+    assert docs_metrics["partitions"]
