@@ -317,6 +317,129 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID over documents (textstats.py)."""
+    from bayesian_bm25_js_spark.operators.textstats import lang_id_column
+    from bayesian_bm25_js_spark.operators.tokenize import tokenize_column
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        lang_id_column(tokenize_column(F.col("text"))).alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + score (textstats.quality_features)."""
+    from bayesian_bm25_js_spark.operators.textstats import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_features(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round("distinct_ratio", 6).alias("distinct_ratio_r"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio_r"),
+        F.round("alnum_ratio", 6).alias("alnum_ratio_r"),
+        F.round("quality_score", 6).alias("quality_r"),
+    ).orderBy("doc_id")
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram shingle Jaccard for consecutive doc pairs
+    (dedup.ngram_jaccard_pairs verification stage)."""
+    from bayesian_bm25_js_spark.operators.dedup import ngram_jaccard_pairs
+    from bayesian_bm25_js_spark.operators.tokenize import tokenize_column
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", tokenize_column(F.col("text")).alias("tokens")
+    )
+    ids = docs.select(F.col("doc_id").alias("a"))
+    pairs = ids.select("a", (F.col("a") + 1).alias("b")).filter(
+        F.col("b") <= docs.agg(F.max("doc_id")).collect()[0][0]
+    )
+    out = ngram_jaccard_pairs(docs, pairs, shingle_k=3)
+    return out.select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard_r")
+    ).orderBy("a")
+
+
+def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs by brute-force cosine >= 0.3 among the
+    first 100 vectors (baseline for the LSH scale path)."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    dot = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.3)
+        .select("a", "b", F.round("cos", 6).alias("cos_r"))
+        .orderBy("a", "b")
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (rows-only: the xxhash64 MinHash
+    family is not expressible in DuckDB SQL)."""
+    from bayesian_bm25_js_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from bayesian_bm25_js_spark.operators.tokenize import tokenize_column
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", tokenize_column(F.col("text")).alias("tokens")
+    )
+    sigs = minhash_signatures(docs, shingle_k=3)
+    return minhash_lsh_pairs(sigs, threshold=0.5).orderBy("a", "b")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, Hamming <= 3 (rows-only)."""
+    from bayesian_bm25_js_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+    from bayesian_bm25_js_spark.operators.tokenize import tokenize_column
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", tokenize_column(F.col("text")).alias("tokens")
+    )
+    return simhash_near_pairs(simhash_signatures(docs), max_distance=3).orderBy(
+        "a", "b"
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction plumbing over a deterministic fake
+    media table (rows-only; decode is a container stub)."""
+    from bayesian_bm25_js_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    feats = extract_features(synthesize_media(spark, 64))
+    return feats.select(
+        "doc_id",
+        "modality",
+        F.round(F.element_at("feature", 1), 6).alias("f0_r"),
+        F.size("feature").alias("dim"),
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: calibrated BM25 top-10 at sf0.001."""
     return q_bm25_calibrated_topk(spark, "/root/testdata/sf0.001")
@@ -337,6 +460,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier": q_brier,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "jaccard_pairs": q_jaccard_pairs,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "media_features": q_media_features,
     }
 
 
@@ -405,6 +535,36 @@ def _posterior_sql(score_expr: str, tf_expr: str, dlr_expr: str) -> str:
         f"(({p1c}) * {BASE_RATE} + (1.0 - ({p1c})) * (1.0 - {BASE_RATE}))"
     )
     return f"greatest(1e-10, least(1.0 - 1e-10, {p2}))"
+
+
+def _lang_sql_scores() -> str:
+    from bayesian_bm25_js_spark.operators.textstats import LANG_MARKERS
+
+    cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        cols.append(
+            f"len(list_distinct(list_intersect(toks, {lst}))) AS s_{lang}"
+        )
+    return ", ".join(cols)
+
+
+def _lang_sql_case() -> str:
+    from bayesian_bm25_js_spark.operators.textstats import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    gmax = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    whens = "\n".join(
+        f"WHEN s_{l} = {gmax} THEN '{l}'" for l in langs[:-1]
+    )
+    return (
+        f"CASE WHEN {gmax} = 0 THEN 'und'\n{whens}\nELSE '{langs[-1]}' END"
+    )
+
+
+_TOK_LIST = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -586,5 +746,73 @@ def oracle_sql() -> dict[str, str]:
                    round(list_sum(list_transform(toks, t -> length(t)::DOUBLE))
                          / len(toks), 6) AS mean_tok_len_r
             FROM tok_lists ORDER BY doc_id
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id, {_TOK_LIST} AS toks FROM documents),
+            s AS (SELECT doc_id, {_lang_sql_scores()} FROM t)
+            SELECT doc_id, {_lang_sql_case()} AS lang_pred
+            FROM s ORDER BY doc_id
+        """,
+        "quality": f"""
+            WITH t AS (
+              SELECT doc_id, text, length(text) AS n_chars, {_TOK_LIST} AS toks
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id,
+                     len(toks)::INT AS n_tokens,
+                     len(list_distinct(toks))::INT AS n_distinct,
+                     CASE WHEN len(toks) > 0
+                          THEN len(list_distinct(toks)) / len(toks)
+                          ELSE 0.0 END AS distinct_ratio,
+                     CASE WHEN len(toks) > 0
+                          THEN len(list_distinct(list_intersect(toks,
+                            ['the','and','of','to','is','in','that','it','for','with'])))
+                               / len(toks)
+                          ELSE 0.0 END AS stopword_ratio,
+                     CASE WHEN n_chars > 0
+                          THEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                               / n_chars
+                          ELSE 0.0 END AS alnum_ratio,
+                     len(toks) AS nt
+              FROM t
+            )
+            SELECT doc_id, n_tokens, n_distinct,
+                   round(distinct_ratio, 6) AS distinct_ratio_r,
+                   round(stopword_ratio, 6) AS stopword_ratio_r,
+                   round(alnum_ratio, 6) AS alnum_ratio_r,
+                   round(round(0.4 * least(1.0, nt / 100.0)
+                         + 0.3 * distinct_ratio + 0.3 * alnum_ratio, 6), 6) AS quality_r
+            FROM feat ORDER BY doc_id
+        """,
+        "jaccard_pairs": f"""
+            WITH t AS (SELECT doc_id, {_TOK_LIST} AS toks FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 2, 1) + 1),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS s
+              FROM t
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(len(list_intersect(a.s, b.s)) * 1.0
+                         / len(list_distinct(a.s || b.s)), 6) AS jaccard_r
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+            ORDER BY a
+        """,
+        "cosine_dup_pairs": """
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id < 100
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_r
+            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+            ORDER BY a, b
         """,
     }

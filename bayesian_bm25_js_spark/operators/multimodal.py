@@ -1,0 +1,139 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as `binary` columns with a metadata struct;
+decode / feature-extraction / resize / frame-sampling run as
+Arrow-batched `mapInPandas` stages. The decode step is STUBBED in this
+container (no image/audio libs): `decode=\"real\"` raises
+NotImplementedError at the call site, while the default deterministic
+fake decoder hashes the payload into a fixed-shape feature vector so
+the Spark-side plumbing — schema, batch shape, partitioning — is real
+and tested end-to-end.
+
+Schema contract:
+  media (doc_id long, modality string, data binary,
+         meta struct<width:int, height:int, sample_rate:int, n_frames:int>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("data", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("sample_rate", IntegerType()),
+                    StructField("n_frames", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: sha256-seeded feature
+    vector in [-1, 1]. Replaces image/audio lib output in this container."""
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((digest * ((dim * 8) // len(digest) + 1))[: dim * 8], dtype=np.uint64)
+    return (raw.astype(np.float64) / np.float64(2**64)) * 2.0 - 1.0
+
+
+def extract_features(
+    media: DataFrame, decode: str = "fake", batch_size_hint: int = 256
+) -> DataFrame:
+    """media -> (doc_id, modality, feature array<double>[FEATURE_DIM]).
+
+    decode="real" is the integration point for actual decoders
+    (PIL/librosa/av) — not available in this container."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real decoders (PIL/librosa/av) are not installed in this "
+            "container; use decode='fake' for the deterministic stub"
+        )
+    if decode != "fake":
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode_features(bytes(b)).tolist() for b in pdf["data"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling plan: one row per sampled frame index,
+    derived from meta.n_frames — pure Catalyst (explode over sequence);
+    actual frame decode plugs into extract_features."""
+    return media.filter(F.col("modality") == "video").select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1, F.lit(0)),
+                F.lit(every_n),
+            )
+        ).alias("frame_idx"),
+    )
+
+
+def synthesize_media(spark, n_rows: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests: payload = sha2 of id."""
+    df = spark.range(n_rows)
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+    )
+    return df.select(
+        F.col("id").alias("doc_id"),
+        modality.alias("modality"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("data"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(48).alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.pmod(F.col("id"), F.lit(50)) + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,205 @@
+"""Similarity search over embedding columns (array<float>).
+
+Dense-side counterpart of the sparse BM25 engine; cosine probabilities
+feed the hybrid fusion layer (fusion.ts:23-32, 312-328).
+
+* brute_force_topk — exact top-k by cosine: broadcast the query
+  vectors, JVM-side sequential dot products (zip_with + aggregate),
+  window top-k. The correctness baseline; O(n·q) but embarrassingly
+  parallel and shuffle-free until the final per-query top-k.
+* random_hyperplane_signatures / lsh_topk — the scale path: h seeded
+  Box-Muller hyperplanes (deterministic, driver-generated, broadcast as
+  literals), sign-bit signatures, Hamming-band buckets; exact cosine
+  re-ranking only inside candidate buckets.
+* cosine_near_pairs — near-duplicate detection by embedding cosine ≥
+  threshold via the same LSH bucketing.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bayesian_bm25_js_spark.functions.prng import mulberry32, rand_normal
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """queries: (query_id, qvec array<double>) — tiny, broadcast.
+    -> (query_id, rank, vec_id, cos)."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    q = queries.select("query_id", _as_double(F.col("qvec")).alias("qv"))
+    cos = _dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", cos.alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> List[List[float]]:
+    """Deterministic Gaussian hyperplanes (mulberry32 + Box-Muller)."""
+    rng = mulberry32(seed)
+    return [[rand_normal(rng) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def signature_column(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Sign-bit LSH signature of a vector column -> bigint."""
+    sig = None
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec, p) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sig
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share ≥1 signature band with the
+    query; exact cosine re-ranks candidates only.
+
+    Recall/cost dial: more bands → higher recall, more candidates.
+    """
+    dim = len(queries.select("qvec").first()["qvec"])
+    planes = hyperplanes(dim, n_planes, seed)
+    width = n_planes // n_bands
+    mask = (1 << width) - 1
+
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("sig", signature_column(F.col("v"), planes))
+    q = queries.select(
+        "query_id", _as_double(F.col("qvec")).alias("qv")
+    ).withColumn("qsig", signature_column(F.col("qv"), planes))
+
+    def bands(sig_col, prefix):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("band_id"),
+                        F.shiftrightunsigned(sig_col, c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band"),
+                    )
+                    for c in range(n_bands)
+                ]
+            )
+        )
+
+    emb_b = emb.select("vec_id", "v", bands(F.col("sig"), "e").alias("bb")).select(
+        "vec_id", "v", "bb.band_id", "bb.band"
+    )
+    q_b = q.select("query_id", "qv", bands(F.col("qsig"), "q").alias("bb")).select(
+        "query_id", "qv", "bb.band_id", "bb.band"
+    )
+    cands = emb_b.join(
+        F.broadcast(q_b), ["band_id", "band"]
+    ).select("query_id", "vec_id", "v", "qv").distinct()
+
+    cos = _dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    scored = cands.select("query_id", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def cosine_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH band candidates, exact cosine
+    ≥ threshold verification. -> (a, b, cos)."""
+    dim = len(embeddings.select(vec_col).first()[vec_col])
+    planes = hyperplanes(dim, n_planes, seed)
+    width = n_planes // n_bands
+    mask = (1 << width) - 1
+
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("sig", signature_column(F.col("v"), planes))
+    banded = emb.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("band_id"),
+                        F.shiftrightunsigned("sig", c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band"),
+                    )
+                    for c in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "v", "bb.band_id", "bb.band")
+    left = banded.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("va"), "band_id", "band"
+    )
+    right = banded.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("vb"), "band_id", "band"
+    )
+    pairs = (
+        left.join(right, ["band_id", "band"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+        .distinct()
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

@@ -1,0 +1,249 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bayesian_bm25_js_spark.functions.prng import mulberry32
+from bayesian_bm25_js_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from bayesian_bm25_js_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_pairs,
+    lsh_topk,
+)
+from bayesian_bm25_js_spark.operators.textstats import (
+    lang_id_column,
+    quality_features,
+    text_stats_table,
+    token_count_column,
+)
+
+
+def make_docs(spark):
+    """Corpus with known duplicate structure."""
+    base = [f"tok{i}" for i in range(30)]
+    rng = mulberry32(11)
+    docs = []
+    for i in range(40):
+        docs.append([base[int(rng() * 30)] for _ in range(25)])
+    # exact duplicate pair
+    docs.append(list(docs[0]))
+    # near duplicate of doc 1 (one token changed)
+    nd = list(docs[1])
+    nd[5] = "CHANGED"
+    docs.append(nd)
+    # unrelated doc
+    docs.append(["zebra"] * 25)
+    return spark.createDataFrame(
+        [(i, toks, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, tokens array<string>, content string",
+    )
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    return make_docs(spark).cache()
+
+
+def test_exact_dedup(dup_docs):
+    groups = exact_dedup(dup_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [0, 40]
+    assert groups[0]["keeper"] == 0
+
+
+def test_minhash_identical_docs_sig_equal(dup_docs):
+    sigs = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(dup_docs, shingle_k=3).collect()
+    }
+    assert sigs[0] == sigs[40]
+    assert len(sigs[0]) == 64
+    assert sigs[0] != sigs[42]  # unrelated doc differs
+
+
+def test_minhash_lsh_finds_dups(dup_docs):
+    sigs = minhash_signatures(dup_docs, shingle_k=3)
+    pairs = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(sigs, threshold=0.5).collect()
+    }
+    assert pairs.get((0, 40)) == 1.0  # exact dup: all components equal
+    assert (1, 41) in pairs  # near dup found
+    assert all(a < b for (a, b) in pairs)
+    assert not any(42 in p for p in pairs)  # unrelated not paired
+
+
+def test_ngram_jaccard_verification(spark, dup_docs):
+    cand = spark.createDataFrame(
+        [(0, 40), (1, 41), (0, 42)], "a long, b long"
+    )
+    j = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_docs, cand, shingle_k=3).collect()
+    }
+    assert j[(0, 40)] == pytest.approx(1.0)
+    assert 0.5 < j[(1, 41)] < 1.0
+    assert j[(0, 42)] == pytest.approx(0.0)
+
+
+def test_simhash_near_pairs(dup_docs):
+    sigs = simhash_signatures(dup_docs)
+    got = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert got[0] == got[40]
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_pairs(sigs, max_distance=3).collect()
+    }
+    assert pairs.get((0, 40)) == 0
+    assert (1, 41) in pairs  # near dup within hamming 3
+    assert not any(42 in p for p in pairs)
+
+
+def make_embeddings(spark, n=60, dim=8, seed=3):
+    rng = mulberry32(seed)
+    rows = []
+    for i in range(n):
+        v = [rng() * 2 - 1 for _ in range(dim)]
+        rows.append((i, v))
+    # vec 60 = clone of vec 0 (exact cosine 1), vec 61 = slight perturb
+    rows.append((n, list(rows[0][1])))
+    rows.append((n + 1, [x + 0.01 for x in rows[1][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return make_embeddings(spark).cache()
+
+
+def test_brute_force_topk(spark, emb):
+    q = spark.createDataFrame(
+        [(0, emb.filter("vec_id = 0").first()["embedding"])],
+        "query_id long, qvec array<double>",
+    )
+    rows = brute_force_topk(emb, q, k=3).orderBy("rank").collect()
+    # vec 0 and its clone 60 tie at cos=1; tie-break asc vec_id
+    assert [r["vec_id"] for r in rows[:2]] == [0, 60]
+    assert rows[0]["cos"] == pytest.approx(1.0)
+    assert rows[1]["cos"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_recall_at_top(spark, emb):
+    q = spark.createDataFrame(
+        [(0, emb.filter("vec_id = 0").first()["embedding"])],
+        "query_id long, qvec array<double>",
+    )
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=1).collect()]
+    approx = [r["vec_id"] for r in lsh_topk(emb, q, k=1, n_planes=16, n_bands=8).collect()]
+    # identical vector always shares every band with itself
+    assert approx[:1] == exact[:1]
+
+
+def test_cosine_near_pairs(emb):
+    pairs = {
+        (r["a"], r["b"]): r["cos"]
+        for r in cosine_near_pairs(emb, threshold=0.99, n_bands=8).collect()
+    }
+    assert pairs.get((0, 60)) == pytest.approx(1.0)
+    assert (1, 61) in pairs
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, ["the", "cat", "and", "the", "dog", "is", "in", "it"]),
+            (1, ["el", "gato", "y", "la", "casa", "de", "un", "perro"]),
+            (2, ["le", "chat", "et", "la", "maison", "des", "une", "est"]),
+            (3, ["xyzzy", "qwerty"]),
+        ],
+        "doc_id long, toks array<string>",
+    )
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select("doc_id", lang_id_column(F.col("toks")).alias("lang")).collect()
+    }
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "fr"
+    assert got[3] == "und"
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "a a a a a a a a"),
+         (2, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert rows[0]["n_tokens"] == 9
+    assert rows[0]["n_distinct"] == 8
+    assert rows[0]["distinct_ratio"] == pytest.approx(8 / 9)
+    assert rows[1]["distinct_ratio"] == pytest.approx(1 / 8)
+    assert rows[0]["quality_score"] > rows[1]["quality_score"]
+    assert rows[2]["n_tokens"] == 0 and rows[2]["quality_score"] == pytest.approx(0.0)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world  foo"), (1, "parseHTTPResponse my_var x2")],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id",
+        token_count_column(F.col("text")).alias("ws"),
+        token_count_column(F.col("text"), bpe_like=True).alias("bpe"),
+    ).collect()
+    got = {r["doc_id"]: (r["ws"], r["bpe"]) for r in rows}
+    assert got[0] == (3, 3)
+    assert got[1][0] == 3
+    assert got[1][1] > 3  # camelCase/underscore/digit splits
+
+
+def test_text_stats_table(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "el gato de la casa es un")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_stats_table(df).collect()}
+    assert rows[0]["lang_pred"] == "en"
+    assert rows[1]["lang_pred"] == "es"
+    assert rows[0]["fingerprint"] is not None
+    assert rows[0]["ws_tokens"] == 6
+
+
+def test_multimodal_plumbing(spark):
+    from bayesian_bm25_js_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        frame_sample,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert all(-1.0 <= x <= 1.0 for x in r["feature"])
+    # determinism: same payload -> same features
+    again = extract_features(media).collect()
+    assert {r["doc_id"]: r["feature"] for r in feats} == {
+        r["doc_id"]: r["feature"] for r in again
+    }
+    # real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode="real")
+    frames = frame_sample(media, every_n=10)
+    vid = media.filter("modality = 'video'").count()
+    assert frames.select("doc_id").distinct().count() == vid
+    assert frames.filter("frame_idx < 0").count() == 0
