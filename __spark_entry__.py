@@ -440,6 +440,93 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_temporal_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TemporalBayesianTransform sample weights (probability.ts:676-692)
+    over the events table: w = exp(-ln2/halfLife * (maxTs - ts)),
+    normalized to sum to n — as distributed column expressions."""
+    half_life = 3600.0  # seconds
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000.0).alias("tsd"),
+    )
+    stats = ev.agg(
+        F.max("tsd").alias("max_ts"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    raw_w = F.exp(F.lit(-0.6931471805599453 / half_life) * (F.lit(stats["max_ts"]) - F.col("tsd")))
+    with_raw = ev.withColumn("raw_w", raw_w)
+    w_sum = with_raw.agg(F.sum("raw_w").alias("s")).collect()[0]["s"]
+    return (
+        with_raw.select(
+            "event_id",
+            F.round(F.col("raw_w") * (stats["n"] / w_sum), 6).alias("weight_r"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_fusion_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """probAnd/probOr (fusion.ts:53-97) as distributed log-space
+    aggregates: per user, fuse per-event pseudo-probabilities."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vmax = ev.agg(F.max("value")).collect()[0][0]
+    p = F.greatest(
+        F.lit(1e-10),
+        F.least(F.lit(1.0 - 1e-10), F.col("value") / F.lit(vmax + 1.0)),
+    )
+    return (
+        ev.select("user_id", p.alias("p"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.exp(F.sum(F.log("p"))), 6).alias("prob_and_r"),
+            F.round(1.0 - F.exp(F.sum(F.log(1.0 - F.col("p")))), 6).alias("prob_or_r"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """balancedLogOddsFusion (fusion.ts:312-328) as a Spark dataflow:
+    sparse = dense BM25 probabilities for one query; dense = cosine of
+    each doc's embedding vs vec 0; per-set min-max logit normalization
+    via windows (operators/hybrid.py)."""
+    from bayesian_bm25_js_spark.operators.hybrid import balanced_fusion
+    from bayesian_bm25_js_spark.operators.scoring import (
+        calibrate,
+        densify_scores,
+        queries_to_df,
+        score_queries,
+    )
+
+    idx = _index(spark, sf_dir)
+    scores = score_queries(idx, queries_to_df(spark, [["spark", "query", "table"]]))
+    qids = spark.createDataFrame([(0,)], "query_id long")
+    dense = calibrate(
+        densify_scores(idx, scores, qids), idx, ALPHA, BETA, BASE_RATE
+    ).select("query_id", "doc_id", F.col("probability").alias("sparse_prob"))
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    ref = emb.filter(F.col("doc_id") == 0).select(F.col("v").alias("ref"))
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos_df = emb.crossJoin(F.broadcast(ref)).select(
+        "doc_id",
+        (
+            dot(F.col("v"), F.col("ref"))
+            / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("ref"), F.col("ref"))))
+        ).alias("cos"),
+    )
+    cand = dense.join(cos_df, "doc_id")
+    out = balanced_fusion(cand, weight=0.5)
+    return out.select(
+        "doc_id", F.round("fusion_score", 6).alias("fusion_r")
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: calibrated BM25 top-10 at sf0.001."""
     return q_bm25_calibrated_topk(spark, "/root/testdata/sf0.001")
@@ -467,6 +554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "media_features": q_media_features,
+        "temporal_weights": q_temporal_weights,
+        "fusion_by_user": q_fusion_by_user,
+        "hybrid_fusion": q_hybrid_fusion,
     }
 
 
@@ -799,6 +889,95 @@ def oracle_sql() -> dict[str, str]:
                          / len(list_distinct(a.s || b.s)), 6) AS jaccard_r
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
             ORDER BY a
+        """,
+        "temporal_weights": """
+            WITH ev AS (
+              SELECT event_id, epoch_us(ts) / 1000000.0 AS tsd FROM events
+            ),
+            c AS (
+              SELECT max(tsd) AS max_ts, count(*) AS n,
+                     sum(exp(-0.6931471805599453 / 3600.0 * ((SELECT max(tsd) FROM ev) - tsd))) AS s
+              FROM ev
+            )
+            SELECT event_id,
+                   round(exp(-0.6931471805599453 / 3600.0 * (c.max_ts - tsd))
+                         * (c.n / c.s), 6) AS weight_r
+            FROM ev, c ORDER BY event_id
+        """,
+        "fusion_by_user": """
+            WITH c AS (SELECT max(value) AS vmax FROM events),
+            p AS (
+              SELECT user_id,
+                     greatest(1e-10, least(1.0 - 1e-10, value / (c.vmax + 1.0))) AS p
+              FROM events, c
+            )
+            SELECT user_id,
+                   round(exp(sum(ln(p))), 6) AS prob_and_r,
+                   round(1.0 - exp(sum(ln(1.0 - p))), 6) AS prob_or_r,
+                   count(*) AS n
+            FROM p GROUP BY user_id ORDER BY user_id
+        """,
+        "hybrid_fusion": f"""
+            WITH toks AS ({_TOKS}),
+            doc_stats AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY doc_id),
+            consts AS (
+              SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                     (SELECT coalesce(sum(dl), 0) FROM doc_stats)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY doc_id, term),
+            term_stats AS (
+              SELECT term, count(*) AS df,
+                     ln(1.0 + ((SELECT n_docs FROM consts) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+              FROM tf GROUP BY term
+            ),
+            q(query_id, term) AS (VALUES (0, 'spark'), (0, 'query'), (0, 'table')),
+            contribs AS (
+              SELECT tf.doc_id, tf.term, ds.dl,
+                     ts.idf * (tf.tf * ({K1} + 1.0))
+                       / (tf.tf + {K1} * (1.0 - {B} + {B} * ds.dl / (SELECT avgdl FROM consts))) AS contrib
+              FROM q JOIN tf USING (term)
+                     JOIN term_stats ts USING (term)
+                     JOIN doc_stats ds ON tf.doc_id = ds.doc_id
+            ),
+            scored AS (
+              SELECT doc_id, sum(contrib) AS score,
+                     count(DISTINCT term) AS tf_overlap, any_value(dl) AS dl
+              FROM contribs GROUP BY doc_id
+            ),
+            sparse AS (
+              SELECT d.doc_id,
+                     CASE WHEN coalesce(s.score, 0.0) > 0
+                          THEN {_posterior_sql('s.score', 's.tf_overlap', 's.dl / (SELECT avgdl FROM consts)')}
+                          ELSE 0.0 END AS sp
+              FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+            ),
+            emb AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+            r AS (SELECT v FROM emb WHERE doc_id = 0),
+            dens AS (
+              SELECT e.doc_id,
+                     list_dot_product(e.v, r.v)
+                       / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(r.v, r.v))) AS cos
+              FROM emb e CROSS JOIN r
+            ),
+            cand AS (
+              SELECT s.doc_id,
+                     ln(greatest(1e-10, least(1.0 - 1e-10, s.sp))
+                        / (1.0 - greatest(1e-10, least(1.0 - 1e-10, s.sp)))) AS ls,
+                     ln(greatest(1e-10, least(1.0 - 1e-10, (1.0 + d.cos) / 2.0))
+                        / (1.0 - greatest(1e-10, least(1.0 - 1e-10, (1.0 + d.cos) / 2.0)))) AS ld
+              FROM sparse s JOIN dens d ON s.doc_id = d.doc_id
+            ),
+            norm AS (
+              SELECT doc_id,
+                     CASE WHEN max(ls) OVER () - min(ls) OVER () < 1e-12 THEN 0.0
+                          ELSE (ls - min(ls) OVER ()) / (max(ls) OVER () - min(ls) OVER ()) END AS ls_n,
+                     CASE WHEN max(ld) OVER () - min(ld) OVER () < 1e-12 THEN 0.0
+                          ELSE (ld - min(ld) OVER ()) / (max(ld) OVER () - min(ld) OVER ()) END AS ld_n
+              FROM cand
+            )
+            SELECT doc_id, round(0.5 * ld_n + 0.5 * ls_n, 6) AS fusion_r
+            FROM norm ORDER BY doc_id
         """,
         "cosine_dup_pairs": """
             WITH emb AS (

@@ -127,12 +127,27 @@ def densify_scores(
     )
 
 
-def top_k(scores: DataFrame, k: int) -> DataFrame:
+def top_k(scores: DataFrame, k: int, two_phase: bool = True, salt: int = 64) -> DataFrame:
     """Per-query top-k with the mandatory (desc score, asc doc_id)
-    tie-break (bm25.ts:139-144 via JS stable sort)."""
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
+    tie-break (bm25.ts:139-144 via JS stable sort).
+
+    two_phase=True (default, the scale path): a single window
+    partitioned only by query_id funnels EVERY scored doc of a query
+    through one task — the per-query skew bottleneck at 10^9 matched
+    docs. Phase 1 takes local top-k within (query_id, hash(doc_id) %
+    salt) slices; phase 2 ranks the ≤ salt·k survivors per query.
+    The global top-k is contained in the union of slice top-ks, so the
+    result is identical (same tie-break in both phases).
+    """
+    order = [F.desc("score"), F.asc("doc_id")]
+    if two_phase:
+        w1 = Window.partitionBy(
+            "query_id", F.pmod(F.xxhash64("doc_id"), F.lit(salt))
+        ).orderBy(*order)
+        scores = scores.withColumn("__r1", F.row_number().over(w1)).filter(
+            F.col("__r1") <= k
+        ).drop("__r1")
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scores.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -1,0 +1,48 @@
+"""Physical-plan inspection helpers — keep the plans honest.
+
+Used by tests to pin the plan shapes that matter at 100 TB: broadcast
+joins on the query side, filter/column pushdown into parquet scans,
+bounded shuffle (Exchange) counts, wide whole-stage-codegen spans.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    j_mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(j_mode)
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle boundaries in the analyzed physical plan."""
+    plan = plan_string(df)
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", plan))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in plan_string(df) or "BroadcastNestedLoopJoin" in plan_string(df)
+
+
+def pushed_filters(df: DataFrame) -> str:
+    plan = plan_string(df)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    return m.group(1) if m else ""
+
+
+def read_schema(df: DataFrame) -> str:
+    plan = plan_string(df)
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    return m.group(1) if m else ""
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan_string(df))))

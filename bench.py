@@ -27,8 +27,8 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_FILES = int(os.environ.get("BENCH_FILES", "20000"))
-N_QUERIES = int(os.environ.get("BENCH_QUERIES", "50"))
+N_FILES = int(os.environ.get("BENCH_FILES", "100000"))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", "200"))
 
 
 def log(msg: str) -> None:
@@ -93,17 +93,37 @@ def run_bench(cpus: int) -> dict:
         out = calibrate(top_k(scores, 10), index, 1.0, 0.5, 0.05)
         return out.count()
 
-    t0 = time.time()
-    run_queries()
-    timings["query_cold"] = round(time.time() - t0, 3)
+    import statistics
+
     t0 = time.time()
     n_results = run_queries()
-    query_s = time.time() - t0
+    timings["query_cold"] = round(time.time() - t0, 3)
+    warm = []
+    for _ in range(3):
+        t0 = time.time()
+        run_queries()
+        warm.append(time.time() - t0)
+    query_s = statistics.median(warm)
     timings["query_warm"] = round(query_s, 3)
     qps = round(N_QUERIES / query_s, 2)
-    log(f"[bench] queries: {N_QUERIES} in {query_s:.2f}s = {qps} q/s ({n_results} rows)")
+    log(f"[bench] queries: {N_QUERIES} in median {query_s:.2f}s = {qps} q/s ({n_results} rows)")
 
     # -- oracle-suite headliners at SF_DIR ------------------------------------
+    if os.environ.get("BENCH_SKIP_SUITE"):
+        total = round(sum(timings.values()), 3)
+        spark.stop()
+        return {
+            "metric": "bench_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "cpus": cpus,
+            "n_files": n,
+            "files_per_sec": files_per_sec,
+            "qps_top10_calibrated": qps,
+        }
+
     import __spark_entry__ as entry_mod
 
     for name in ["bm25_calibrated_topk", "dense_probabilities", "cosine_topk",
@@ -130,33 +150,66 @@ def run_bench(cpus: int) -> dict:
 
 
 def run_scaling() -> None:
-    results = {}
-    for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-        out = subprocess.run(
-            [sys.executable, __file__], env=env, capture_output=True, text=True
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
-        log(f"[scaling] local[{cpus}]: {line}")
-    qps8 = results[8]["qps_top10_calibrated"]
-    qps32 = results[32]["qps_top10_calibrated"]
-    f8 = results[8]["files_per_sec"]
-    f32 = results[32]["files_per_sec"]
-    eff_q = (qps32 / qps8) / 4.0
+    """Interleaved subprocess trials at local[8] and local[32] (fresh JVM
+    per trial, alternating order to decorrelate machine noise), medians
+    reported. Larger corpus than the per-round bench so the parallel
+    region dominates fixed job overhead."""
+    import statistics
+
+    trials = int(os.environ.get("SCALING_TRIALS", "3"))
+    n_files = os.environ.get("BENCH_FILES", "300000")
+    results: dict[int, list[dict]] = {8: [], 32: []}
+    for t in range(trials):
+        for cpus in (8, 32) if t % 2 == 0 else (32, 8):
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cpus),
+                BENCH_FILES=n_files,
+                BENCH_SKIP_SUITE="1",
+                SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"),
+            )
+            out = subprocess.run(
+                [sys.executable, __file__], env=env, capture_output=True, text=True
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            r = json.loads(line)
+            results[cpus].append(r)
+            log(
+                f"[scaling] trial {t} local[{cpus}]: "
+                f"{r['files_per_sec']} f/s, {r['qps_top10_calibrated']} q/s"
+            )
+
+    med = lambda rs, key: statistics.median(r[key] for r in rs)
+    f8, f32 = med(results[8], "files_per_sec"), med(results[32], "files_per_sec")
+    qps8, qps32 = (
+        med(results[8], "qps_top10_calibrated"),
+        med(results[32], "qps_top10_calibrated"),
+    )
     eff_b = (f32 / f8) / 4.0
+    eff_q = (qps32 / qps8) / 4.0
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH — two-parallelism scaling evidence (north rule)\n\n"
             "Same job, same input, local[8] vs local[32] (sandbox proxy for\n"
-            "N vs 4N executors). Efficiency = (throughput_32 / throughput_8) / 4.\n\n"
+            "N vs 4N executors; 32 physical cores, no SMT). Medians over\n"
+            f"{trials} interleaved fresh-JVM trials per level.\n"
+            "Efficiency = (throughput_32 / throughput_8) / 4.\n\n"
             "| metric | local[8] | local[32] | efficiency |\n"
             "|---|---|---|---|\n"
             f"| index build (files/s) | {f8} | {f32} | {eff_b:.3f} |\n"
             f"| top-10 calibrated queries/s | {qps8} | {qps32} | {eff_q:.3f} |\n\n"
-            f"Corpus: {results[32]['n_files']} synthetic code files "
-            f"(sources/corpus.py), {N_QUERIES}-query workload.\n"
+            f"Corpus: {n_files} synthetic code files (sources/corpus.py, "
+            f"north-rule shape), {N_QUERIES}-query top-10 calibrated "
+            "workload, warm-median timing (bench.py).\n\n"
+            "Raw trials:\n\n```\n"
+            + "\n".join(
+                f"local[{c}] trial {i}: {r['files_per_sec']} f/s, "
+                f"{r['qps_top10_calibrated']} q/s"
+                for c in (8, 32)
+                for i, r in enumerate(results[c])
+            )
+            + "\n```\n"
         )
     log(f"[scaling] build eff={eff_b:.3f}, query eff={eff_q:.3f} -> BENCH/BASELINE.md")
 
