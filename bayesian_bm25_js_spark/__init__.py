@@ -35,3 +35,47 @@ from bayesian_bm25_js_spark.functions.transform import (  # noqa: F401
     BayesianProbabilityTransform,
     TemporalBayesianTransform,
 )
+from bayesian_bm25_js_spark.functions.fusion import (  # noqa: F401
+    balanced_log_odds_fusion,
+    cosine_to_probability,
+    log_odds_conjunction,
+    prob_and,
+    prob_not,
+    prob_or,
+    resolve_alpha,
+)
+from bayesian_bm25_js_spark.functions.calibration import (  # noqa: F401
+    IsotonicCalibrator,
+    PlattCalibrator,
+)
+from bayesian_bm25_js_spark.functions.metrics import (  # noqa: F401
+    CalibrationReport,
+    brier_score,
+    calibration_report,
+    expected_calibration_error,
+    reliability_diagram,
+)
+from bayesian_bm25_js_spark.functions.learners import (  # noqa: F401
+    AttentionLogOddsWeights,
+    LearnableLogOddsWeights,
+    MultiHeadAttentionLogOddsWeights,
+)
+from bayesian_bm25_js_spark.functions.debug import FusionDebugger  # noqa: F401
+
+
+def __getattr__(name):
+    # Spark-dependent facades imported lazily so `import
+    # bayesian_bm25_js_spark` works without a JVM on the path.
+    if name == "BayesianBM25SparkScorer":
+        from bayesian_bm25_js_spark.operators.scorer import (
+            BayesianBM25SparkScorer,
+        )
+
+        return BayesianBM25SparkScorer
+    if name == "MultiFieldSparkScorer":
+        from bayesian_bm25_js_spark.operators.multi_field import (
+            MultiFieldSparkScorer,
+        )
+
+        return MultiFieldSparkScorer
+    raise AttributeError(name)

@@ -106,3 +106,39 @@ def load_index(spark: SparkSession, path: str) -> tuple:
         method=meta["method"],
     )
     return index, meta.get("transform", {})
+
+
+def load_packed_index(spark: SparkSession, path: str) -> tuple:
+    """Query path over delta+varint packed postings: decode blocks and
+    rebuild the denormalized (term, doc_id, tf, dl, idf) stream by
+    joining doc/term stats. At query time only blocks whose terms match
+    the (broadcast) query survive — the term filter pushes into the
+    packed parquet scan before any decode work runs.
+
+    -> (InvertedIndex, transform_params).
+    """
+    from bayesian_bm25_js_spark.operators.compression import unpack_postings
+
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    if not meta.get("packed"):
+        raise ValueError(f"index at {path} was saved without packed=True")
+    packed = spark.read.parquet(f"{path}/packed")
+    term_stats = spark.read.parquet(f"{path}/term_stats")
+    doc_stats = spark.read.parquet(f"{path}/doc_stats")
+    unpacked = unpack_postings(packed, meta["block_size"]).drop("block_id")
+    postings = unpacked.join(doc_stats, "doc_id").join(
+        term_stats.select("term", "idf"), "term"
+    ).select("term", "doc_id", "tf", "dl", "idf")
+    index = InvertedIndex(
+        spark=spark,
+        postings=postings,
+        term_stats=term_stats,
+        doc_stats=doc_stats,
+        n_docs=meta["n_docs"],
+        avgdl=meta["avgdl"],
+        k1=meta["k1"],
+        b=meta["b"],
+        method=meta["method"],
+    )
+    return index, meta.get("transform", {})

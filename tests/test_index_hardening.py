@@ -183,6 +183,26 @@ def test_save_load_roundtrip(spark, rnd_index, tmp_path):
     ]
 
 
+def test_packed_index_query_parity(spark, rnd_index, tmp_path):
+    """Scoring directly off the packed (delta+varint) layout matches the
+    row layout exactly."""
+    corpus, idx = rnd_index
+    from bayesian_bm25_js_spark.sources.index_store import (
+        load_packed_index,
+        save_index,
+    )
+
+    path = str(tmp_path / "pidx")
+    save_index(idx, path, packed=True, block_size=64)
+    pidx, _ = load_packed_index(spark, path)
+    qdf = queries_to_df(spark, [["w0", "w5", "w20"], ["w1"]])
+    a = top_k(score_queries(idx, qdf), 5).orderBy("query_id", "rank").collect()
+    b = top_k(score_queries(pidx, qdf), 5).orderBy("query_id", "rank").collect()
+    assert [(r["query_id"], r["doc_id"], r["score"]) for r in a] == [
+        (r["query_id"], r["doc_id"], r["score"]) for r in b
+    ]
+
+
 def test_checkpointed_build_resumes(spark, tmp_path):
     from bayesian_bm25_js_spark.sources.checkpoints import (
         checkpointed_build,
