@@ -127,20 +127,10 @@ def build_inverted_index(
         .withColumn("idf", idf_column(F.col("df"), n_docs, method))
     )
 
-    vocab_size = None
+    # idf join: AQE converts to broadcast at runtime when the vocab side
+    # is under spark.sql.autoBroadcastJoinThreshold, and splits skewed
+    # term partitions otherwise — no extra sizing probe job needed.
     join_stats = term_stats.select("term", "idf")
-    if vocab_broadcast_threshold:
-        # Broadcast the vocab side when it is plausibly small; AQE will
-        # also auto-broadcast below its threshold. We probe lazily only
-        # in local mode to avoid an extra job on giant builds.
-        try:
-            if spark.conf.get("spark.master", "").startswith("local"):
-                vocab_size = term_stats.count()
-                if vocab_size <= vocab_broadcast_threshold:
-                    join_stats = F.broadcast(join_stats)
-        except Exception:
-            pass
-
     postings = tf_df.join(join_stats, "term").select(
         "term", "doc_id", "tf", "dl", "idf"
     )

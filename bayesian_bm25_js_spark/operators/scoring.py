@@ -41,13 +41,22 @@ from bayesian_bm25_js_spark.operators.index_build import InvertedIndex
 
 
 def queries_to_df(spark: SparkSession, queries: Sequence[Sequence[str]]) -> DataFrame:
-    """[[token,...], ...] -> (query_id, pos, term), duplicates preserved."""
-    rows = [
-        (qid, pos, term)
-        for qid, tokens in enumerate(queries)
-        for pos, term in enumerate(tokens)
-    ]
-    return spark.createDataFrame(rows, "query_id long, pos int, term string")
+    """[[token,...], ...] -> (query_id, pos, term, is_first).
+
+    Duplicates preserved (they contribute twice to the score,
+    bm25.ts:110). is_first marks the first occurrence of a term within
+    its query, so the scoring aggregate can count distinct matched
+    terms with a plain conditional sum instead of a per-group hash set
+    (the overlap count feeds the tf prior, scorer.ts:549-564)."""
+    rows = []
+    for qid, tokens in enumerate(queries):
+        seen = set()
+        for pos, term in enumerate(tokens):
+            rows.append((qid, pos, term, term not in seen))
+            seen.add(term)
+    return spark.createDataFrame(
+        rows, "query_id long, pos int, term string, is_first boolean"
+    )
 
 
 def probability_udf(
@@ -88,11 +97,14 @@ def score_queries(index: InvertedIndex, query_terms: DataFrame) -> DataFrame:
     semantically 0).
     """
     contrib = index.tf_norm_column(F.col("tf"), F.col("dl")) * F.col("idf")
-    joined = index.postings.join(F.broadcast(query_terms), "term").select(
+    qt = query_terms
+    if "is_first" not in qt.columns:
+        qt = qt.withColumn("is_first", F.lit(True))
+    joined = index.postings.join(F.broadcast(qt), "term").select(
         "query_id",
         "doc_id",
         "pos",
-        "term",
+        "is_first",
         "dl",
         contrib.alias("contrib"),
     )
@@ -103,7 +115,9 @@ def score_queries(index: InvertedIndex, query_terms: DataFrame) -> DataFrame:
     )
     return joined.groupBy("query_id", "doc_id").agg(
         ordered_sum.alias("score"),
-        F.size(F.collect_set("term")).alias("tf_overlap"),
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+        .cast("int")
+        .alias("tf_overlap"),
         F.first("dl").alias("dl"),
     )
 
@@ -135,9 +149,11 @@ def top_k(scores: DataFrame, k: int, two_phase: bool = True, salt: int = 64) -> 
     partitioned only by query_id funnels EVERY scored doc of a query
     through one task — the per-query skew bottleneck at 10^9 matched
     docs. Phase 1 takes local top-k within (query_id, hash(doc_id) %
-    salt) slices; phase 2 ranks the ≤ salt·k survivors per query.
-    The global top-k is contained in the union of slice top-ks, so the
-    result is identical (same tie-break in both phases).
+    salt) slices — JVM-side window, never Python (an Arrow round-trip
+    of the full scored stream measured 3x slower); phase 2 ranks the
+    ≤ salt·k survivors per query. The global top-k is contained in the
+    union of slice top-ks, so the result is identical (same tie-break
+    in both phases).
     """
     order = [F.desc("score"), F.asc("doc_id")]
     if two_phase:

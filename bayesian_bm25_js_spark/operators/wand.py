@@ -138,14 +138,17 @@ def wand_topk(
     )
 
     contrib = index.tf_norm_column(F.col("tf"), F.col("dl")) * F.col("idf")
+    qt = query_terms
+    if "is_first" not in qt.columns:
+        qt = qt.withColumn("is_first", F.lit(True))
     joined = (
         index.postings.withColumn(
             "block_id", F.floor(F.col("doc_id") / block_size).cast("int")
         )
-        .join(F.broadcast(query_terms), "term")
+        .join(F.broadcast(qt), "term")
         .join(surviving, ["query_id", "block_id"], "left_semi")
         .select(
-            "query_id", "doc_id", "pos", "term", "dl", contrib.alias("contrib")
+            "query_id", "doc_id", "pos", "is_first", "dl", contrib.alias("contrib")
         )
     )
     ordered_sum = F.aggregate(
@@ -155,7 +158,9 @@ def wand_topk(
     )
     scores = joined.groupBy("query_id", "doc_id").agg(
         ordered_sum.alias("score"),
-        F.size(F.collect_set("term")).alias("tf_overlap"),
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+        .cast("int")
+        .alias("tf_overlap"),
         F.first("dl").alias("dl"),
     )
     ranked = top_k(scores, k)

@@ -22,6 +22,14 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # Shuffle spill dir: prefer tmpfs — this sandbox's block device
+    # serializes shuffle I/O and destroys multi-core scaling. On a real
+    # cluster executors use their own local disks; override via
+    # SPARK_LOCAL_DIRS.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -33,5 +41,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()
