@@ -140,6 +140,68 @@ def q_bm25_calibrated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max-WAND pruned top-k (operators/wand.py) — must be
+    rank+score identical to the exhaustive bm25_topk under the 6-dp
+    policy, so the oracle is the SAME exhaustive ranked CTE."""
+    from bayesian_bm25_js_spark.operators.scoring import queries_to_df
+    from bayesian_bm25_js_spark.operators.wand import wand_topk
+
+    idx = _index(spark, sf_dir)
+    terms = sorted({t for q in QUERY_SET for t in q})
+    ranked = wand_topk(
+        idx, queries_to_df(spark, QUERY_SET), TOPK,
+        block_size=BLOCK_SIZE, terms_filter=terms,
+    )
+    return ranked.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score_r")
+    ).orderBy("query_id", "rank")
+
+
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error (metrics.ts:17-52) as a two-aggregate
+    dataflow (functions/metrics.ece_df) over the same deterministic
+    probability/label assignment as reliability_bins."""
+    from bayesian_bm25_js_spark.functions.metrics import ece_df
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        ((F.col("vec_id") % 100) / 100.0 + 0.005).alias("prob"),
+        (F.col("label") >= 1).cast("int").alias("lbl"),
+    )
+    return ece_df(emb, "prob", "lbl", n_bins=10).select(
+        F.round("ece", 6).alias("ece_r")
+    )
+
+
+def q_explain_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explain-mode trace columns (scorer.ts:497-528, debug.ts:146-190):
+    likelihood, tf/norm/composite priors, and posterior for the top-k,
+    all as Catalyst expressions."""
+    from bayesian_bm25_js_spark.operators.scoring import calibrate
+
+    scores, idx = _scored(spark, sf_dir)
+    top = _ranked_topk(scores)
+    out = calibrate(top, idx, ALPHA, BETA, BASE_RATE)
+    x = F.lit(ALPHA) * (F.col("score") - F.lit(BETA))
+    lik = F.when(x >= 0, 1.0 / (1.0 + F.exp(-x))).otherwise(
+        F.exp(x) / (1.0 + F.exp(x))
+    )
+    tfp = 0.2 + 0.7 * F.least(F.lit(1.0), F.col("tf_overlap") / 10.0)
+    dlr = F.col("dl") / F.lit(idx.avgdl)
+    npr = 0.3 + 0.6 * (1.0 - F.least(F.lit(1.0), F.abs(dlr - 0.5) * 2.0))
+    comp = F.greatest(F.lit(0.1), F.least(F.lit(0.9), 0.7 * tfp + 0.3 * npr))
+    return out.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round(lik, 6).alias("likelihood_r"),
+        F.round(tfp, 6).alias("tf_prior_r"),
+        F.round(npr, 6).alias("norm_prior_r"),
+        F.round(comp, 6).alias("composite_prior_r"),
+        F.round("probability", 6).alias("posterior_r"),
+    ).orderBy("query_id", "rank")
+
+
 def q_dense_probabilities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense per-doc probabilities for one query (getProbabilities
     semantics, scorer.ts:532-547): missing docs exactly 0.0."""
@@ -392,8 +454,10 @@ def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (rows-only: the xxhash64 MinHash
-    family is not expressible in DuckDB SQL)."""
+    """MinHash+LSH near-dup candidates. Oracle: golden parquet fixture
+    computed by an INDEPENDENT pure-Python/NumPy pipeline (from-spec
+    XXH64 port, tools/make_golden.py) — DuckDB cannot express Spark's
+    xxhash64 family in SQL, but it can read the frozen expectation."""
     from bayesian_bm25_js_spark.operators.dedup import (
         minhash_lsh_pairs,
         minhash_signatures,
@@ -404,7 +468,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokenize_column(F.col("text")).alias("tokens")
     )
     sigs = minhash_signatures(docs, shingle_k=3)
-    return minhash_lsh_pairs(sigs, threshold=0.5).orderBy("a", "b")
+    return (
+        minhash_lsh_pairs(sigs, threshold=0.5)
+        .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard_r"))
+        .orderBy("a", "b")
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,7 +606,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": q_term_stats,
         "postings": q_postings,
         "bm25_topk": q_bm25_topk,
+        "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_calibrated_topk": q_bm25_calibrated_topk,
+        "ece": q_ece,
+        "explain_trace": q_explain_trace,
         "dense_probabilities": q_dense_probabilities,
         "block_max": q_block_max,
         "wand_upper_bounds": q_wand_upper_bounds,
@@ -613,11 +684,17 @@ _SIGMOID = (
 )
 
 
-def _posterior_sql(score_expr: str, tf_expr: str, dlr_expr: str) -> str:
+def _trace_components_sql(score_expr: str, tf_expr: str, dlr_expr: str):
+    """(likelihood, tf_prior, norm_prior, composite_prior) SQL."""
     lik = _SIGMOID.format(x=f"{ALPHA} * (({score_expr}) - {BETA})")
     tfp = f"(0.2 + 0.7 * least(1.0, ({tf_expr}) / 10.0))"
     npr = f"(0.3 + 0.6 * (1.0 - least(1.0, abs(({dlr_expr}) - 0.5) * 2.0)))"
     comp = f"greatest(0.1, least(0.9, 0.7 * {tfp} + 0.3 * {npr}))"
+    return lik, tfp, npr, comp
+
+
+def _posterior_sql(score_expr: str, tf_expr: str, dlr_expr: str) -> str:
+    lik, tfp, npr, comp = _trace_components_sql(score_expr, tf_expr, dlr_expr)
     p1 = f"(({lik}) * {comp}) / (({lik}) * {comp} + (1.0 - ({lik})) * (1.0 - {comp}))"
     p1c = f"greatest(1e-10, least(1.0 - 1e-10, {p1}))"
     p2 = (
@@ -694,6 +771,63 @@ def oracle_sql() -> dict[str, str]:
                    round({post}, 6) AS prob_r
             FROM ranked WHERE rank <= {TOPK}
             ORDER BY query_id, rank
+        """,
+        # WAND is pruning-only: rank+score identical to exhaustive,
+        # so its oracle IS the exhaustive ranked CTE.
+        "bm25_wand_topk": f"""
+            WITH {_BM25_CTES}
+            SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score_r
+            FROM ranked WHERE rank <= {TOPK}
+            ORDER BY query_id, rank
+        """,
+        "ece": """
+            WITH pl AS (
+              SELECT (vec_id % 100) / 100.0 + 0.005 AS prob,
+                     CASE WHEN label >= 1 THEN 1 ELSE 0 END AS lbl
+              FROM embeddings
+            ),
+            binned AS (
+              SELECT CASE WHEN prob <= 0.1 THEN 0
+                          ELSE CAST(ceil(prob / 0.1) AS INT) - 1 END AS bin,
+                     prob, lbl
+              FROM pl
+            ),
+            per_bin AS (
+              SELECT bin, avg(prob) AS ap, avg(lbl) AS aa, count(*) AS cnt
+              FROM binned GROUP BY bin
+            )
+            SELECT round(sum(cnt * abs(ap - aa)) / sum(cnt), 6) AS ece_r
+            FROM per_bin
+        """,
+        "explain_trace": f"""
+            WITH {_BM25_CTES}
+            SELECT query_id, rank::INT AS rank, doc_id,
+                   round({_trace_components_sql('score', 'tf_overlap', f'dl / (SELECT avgdl FROM consts)')[0]}, 6) AS likelihood_r,
+                   round({_trace_components_sql('score', 'tf_overlap', f'dl / (SELECT avgdl FROM consts)')[1]}, 6) AS tf_prior_r,
+                   round({_trace_components_sql('score', 'tf_overlap', f'dl / (SELECT avgdl FROM consts)')[2]}, 6) AS norm_prior_r,
+                   round({_trace_components_sql('score', 'tf_overlap', f'dl / (SELECT avgdl FROM consts)')[3]}, 6) AS composite_prior_r,
+                   round({_posterior_sql('score', 'tf_overlap', 'dl / (SELECT avgdl FROM consts)')}, 6) AS posterior_r
+            FROM ranked WHERE rank <= {TOPK}
+            ORDER BY query_id, rank
+        """,
+        # Golden-fixture oracles: expectations computed by an independent
+        # pure-Python/NumPy implementation (tools/make_golden.py; XXH64
+        # ported from the public spec, parity pinned in
+        # tests/test_xxh64.py), frozen at sf0.01 generation time.
+        "minhash_lsh_pairs": """
+            SELECT a, b, est_jaccard_r
+            FROM read_parquet('/root/repo/tests/golden/minhash_lsh_pairs.parquet')
+            ORDER BY a, b
+        """,
+        "simhash_pairs": """
+            SELECT a, b, hamming
+            FROM read_parquet('/root/repo/tests/golden/simhash_pairs.parquet')
+            ORDER BY a, b
+        """,
+        "media_features": """
+            SELECT doc_id, modality, f0_r, dim
+            FROM read_parquet('/root/repo/tests/golden/media_features.parquet')
+            ORDER BY doc_id
         """,
         "dense_probabilities": f"""
             WITH toks AS ({_TOKS}),

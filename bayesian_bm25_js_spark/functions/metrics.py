@@ -158,6 +158,31 @@ def reliability_diagram_df(df, prob_col: str, label_col: str, n_bins: int = 10):
     )
 
 
+def ece_df(df, prob_col: str, label_col: str, n_bins: int = 10):
+    """ECE (metrics.ts:17-52) as a pure dataflow: bin → per-bin
+    (avg_pred, avg_actual, count) → Σ (count/total)·|pred−actual|.
+    Returns a 1-row DataFrame (ece double); two tiny aggregations, no
+    driver materialization — the distributed twin of
+    expected_calibration_error_df (which returns a Python float)."""
+    from pyspark.sql import functions as F
+
+    bins = (
+        _with_bin(df, prob_col, n_bins)
+        .groupBy("__bin")
+        .agg(
+            F.avg(prob_col).alias("avg_pred"),
+            F.avg(label_col).alias("avg_actual"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return bins.agg(
+        (
+            F.sum(F.col("cnt") * F.abs(F.col("avg_pred") - F.col("avg_actual")))
+            / F.sum("cnt")
+        ).alias("ece")
+    )
+
+
 def expected_calibration_error_df(
     df, prob_col: str, label_col: str, n_bins: int = 10
 ) -> float:

@@ -157,11 +157,18 @@ def block_max_table(
     holding the term in the block scores >= min_contrib, which gives the
     WAND threshold n distinct lower-bound witnesses per (term, block)."""
     contrib = index.tf_norm_column(F.col("tf"), F.col("dl")) * F.col("idf")
+    # term rides along for inspection/oracle queries (1:1 with term_id);
+    # hot paths join/filter on term_id and column-prune the string away.
+    keys = (
+        ["term_id", "term", "block_id"]
+        if "term_id" in index.postings.columns
+        else ["term", "block_id"]
+    )
     return (
         index.postings.withColumn(
             "block_id", F.floor(F.col("doc_id") / block_size).cast("int")
         )
-        .groupBy("term", "block_id")
+        .groupBy(*keys)
         .agg(
             F.max(contrib).alias("max_contrib"),
             F.min(contrib).alias("min_contrib"),

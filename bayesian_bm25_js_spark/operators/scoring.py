@@ -90,17 +90,56 @@ def probability_udf(
     return _prob
 
 
-def score_queries(index: InvertedIndex, query_terms: DataFrame) -> DataFrame:
+def score_queries(
+    index: InvertedIndex,
+    query_terms: DataFrame,
+    exact_order: bool = False,
+    terms_filter: Optional[Sequence[str]] = None,
+) -> DataFrame:
     """-> (query_id, doc_id, score, tf_overlap, dl) for matched docs only.
 
     Sparse output: docs with no matching term are absent (score
     semantically 0).
+
+    exact_order=False (default, the scale path): plain float64 SUM —
+    whole-stage-codegen'd HashAggregate with map-side combine; shuffle
+    carries one double per (query, doc). Differs from the reference's
+    left-to-right accumulation by ≤ a few ulp, invisible at the 6-dp
+    contract every oracle/rank comparison uses (profiled: the
+    collect_list variant spilled 28 GB per 150-query batch at 400k docs
+    and broke 8→32 scaling).
+
+    exact_order=True: bit-exact JS parity — per-doc contributions are
+    summed in query-token order via array_sort(collect_list(...)) +
+    aggregate(), because float64 addition is not associative
+    (SURVEY §4.4; bm25.ts:117-123). ObjectHashAggregate, memory-heavy:
+    fixture-parity runs only.
     """
     contrib = index.tf_norm_column(F.col("tf"), F.col("dl")) * F.col("idf")
     qt = query_terms
     if "is_first" not in qt.columns:
         qt = qt.withColumn("is_first", F.lit(True))
-    joined = index.postings.join(F.broadcast(qt), "term").select(
+    postings = index.postings
+    join_key = "term"
+    if "term_id" in postings.columns:
+        # Interned hot path: probe/filter on 8-byte keys; the columnar
+        # scan prunes the string column entirely.
+        join_key = "term_id"
+        qt = qt.withColumn("term_id", F.xxhash64("term")).drop("term")
+        postings = postings.drop("term")
+    if terms_filter is not None:
+        # Semantically redundant with the join (it already restricts to
+        # query terms) but physically load-bearing: the In-predicate
+        # reaches the term_id-sorted cache / term-bucketed parquet scan
+        # and prunes whole batches before the probe.
+        from bayesian_bm25_js_spark.functions.xxh64 import spark_xxhash64
+
+        if join_key == "term_id":
+            ids = [spark_xxhash64(t) for t in terms_filter]
+            postings = postings.filter(F.col("term_id").isin(ids))
+        else:
+            postings = postings.filter(F.col("term").isin(list(terms_filter)))
+    joined = postings.join(F.broadcast(qt), join_key).select(
         "query_id",
         "doc_id",
         "pos",
@@ -108,13 +147,16 @@ def score_queries(index: InvertedIndex, query_terms: DataFrame) -> DataFrame:
         "dl",
         contrib.alias("contrib"),
     )
-    ordered_sum = F.aggregate(
-        F.array_sort(F.collect_list(F.struct("pos", "contrib"))),
-        F.lit(0.0),
-        lambda acc, x: acc + x["contrib"],
-    )
+    if exact_order:
+        score_agg = F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        )
+    else:
+        score_agg = F.sum("contrib")
     return joined.groupBy("query_id", "doc_id").agg(
-        ordered_sum.alias("score"),
+        score_agg.alias("score"),
         F.sum(F.when(F.col("is_first"), 1).otherwise(0))
         .cast("int")
         .alias("tf_overlap"),
@@ -141,9 +183,23 @@ def densify_scores(
     )
 
 
-def top_k(scores: DataFrame, k: int, two_phase: bool = True, salt: int = 64) -> DataFrame:
+def top_k(
+    scores: DataFrame,
+    k: int,
+    two_phase: bool = True,
+    salt: int = 64,
+    round_dp: Optional[int] = 6,
+) -> DataFrame:
     """Per-query top-k with the mandatory (desc score, asc doc_id)
     tie-break (bm25.ts:139-144 via JS stable sort).
+
+    round_dp (default 6): rank on round(score, 6) — the engine's float
+    policy (see __spark_entry__ docstring). With the plain-sum scoring
+    path, per-doc float64 totals differ by ulps between physical plans
+    (combine order is plan-dependent), so ranking raw bits would make
+    near-ties nondeterministic across plans (exhaustive vs WAND). At
+    6 dp, equal-at-6dp docs tie-break deterministically by doc_id.
+    round_dp=None ranks raw-score bits (exact_order fixture parity).
 
     two_phase=True (default, the scale path): a single window
     partitioned only by query_id funnels EVERY scored doc of a query
@@ -155,7 +211,10 @@ def top_k(scores: DataFrame, k: int, two_phase: bool = True, salt: int = 64) -> 
     union of slice top-ks, so the result is identical (same tie-break
     in both phases).
     """
-    order = [F.desc("score"), F.asc("doc_id")]
+    sort_score = (
+        F.col("score") if round_dp is None else F.round(F.col("score"), round_dp)
+    )
+    order = [F.desc(sort_score), F.asc("doc_id")]
     if two_phase:
         w1 = Window.partitionBy(
             "query_id", F.pmod(F.xxhash64("doc_id"), F.lit(salt))

@@ -31,6 +31,17 @@ _IDENTIFIERS = [f"var{i}" for i in range(40)] + [
 ]
 # weighted vocab: each keyword appears 8x, identifiers once -> Zipf-ish
 WEIGHTED_VOCAB = [w for w in _KEYWORDS for _ in range(8)] + _IDENTIFIERS
+
+# Long-tail identifier namespace: real code corpora have million-term
+# vocabularies where most terms are rare (user identifiers), while
+# keywords blanket every file. TAIL_PCT of token draws come from a
+# fixed-size "v{0..N}" namespace, giving each tail term a document
+# frequency around 0.1% at 400k files — the selective-term regime that
+# block-max pruning and skew handling must both face. The size is
+# FIXED (not a function of n_files) so growing the corpus never
+# rewrites existing rows (prefix-stability invariant, test_corpus).
+TAIL_VOCAB_SIZE = 50_000
+TAIL_PCT = 25
 LANGS = ["py", "js", "java", "go", "rs", "ts", "cpp", "rb"]
 EXT = {"py": "py", "js": "js", "java": "java", "go": "go",
        "rs": "rs", "ts": "ts", "cpp": "cc", "rb": "rb"}
@@ -58,9 +69,16 @@ def synthesize_code_corpus(
         F.array(*[F.lit(l) for l in LANGS]),
         (F.pmod(F.xxhash64(fid, F.lit(2)), F.lit(len(LANGS))) + 1).cast("int"),
     )
-    token_at = lambda i: F.element_at(
-        vocab, (F.pmod(F.xxhash64(fid, i), F.lit(v)) + 1).cast("int")
-    )
+    def token_at(i):
+        head = F.element_at(
+            vocab, (F.pmod(F.xxhash64(fid, i), F.lit(v)) + 1).cast("int")
+        )
+        tail = F.concat(
+            F.lit("v"),
+            F.pmod(F.xxhash64(fid, i, F.lit(5)), F.lit(TAIL_VOCAB_SIZE)).cast("string"),
+        )
+        is_tail = F.pmod(F.xxhash64(fid, i, F.lit(4)), F.lit(100)) < F.lit(TAIL_PCT)
+        return F.when(is_tail, tail).otherwise(head)
     content = F.array_join(
         F.transform(F.sequence(F.lit(10), length + 9), token_at), " "
     )

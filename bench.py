@@ -36,16 +36,26 @@ def log(msg: str) -> None:
 
 
 def build_workload(n_queries: int):
-    """Deterministic 2-4 term queries over the synthetic-corpus vocab."""
+    """Deterministic 2-4 term queries: realistic code-search shape —
+    each term is 50/50 a hot keyword (Zipf head) or a long-tail
+    identifier ("v{N}"), mirroring the corpus token distribution.
+    Mixed selectivity exercises both the skew path (hot terms) and the
+    block-max pruning path (selective terms)."""
     from bayesian_bm25_js_spark.functions.prng import mulberry32
-    from bayesian_bm25_js_spark.sources.corpus import WEIGHTED_VOCAB
+    from bayesian_bm25_js_spark.sources.corpus import TAIL_VOCAB_SIZE, WEIGHTED_VOCAB
 
     vocab = sorted(set(WEIGHTED_VOCAB))
     rng = mulberry32(7)
     queries = []
     for _ in range(n_queries):
         n_terms = 2 + int(rng() * 3)
-        queries.append([vocab[int(rng() * len(vocab))] for _ in range(n_terms)])
+        terms = []
+        for _ in range(n_terms):
+            if rng() < 0.5:
+                terms.append(vocab[int(rng() * len(vocab))])
+            else:
+                terms.append(f"v{int(rng() * TAIL_VOCAB_SIZE)}")
+        queries.append(terms)
     return queries
 
 

@@ -1,0 +1,119 @@
+"""Contracts of the scale-path scoring choices added in round 2:
+
+* plain-sum scoring (exact_order=False, the default) equals the
+  bit-exact ordered-sum path at the engine's 6-dp float policy;
+* terms_filter is physically load-bearing but semantically a no-op;
+* top_k's rounded ranking breaks 6-dp ties deterministically by doc_id
+  regardless of ulp-level score noise.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bayesian_bm25_js_spark.operators.index_build import build_inverted_index
+from bayesian_bm25_js_spark.operators.scoring import (
+    queries_to_df,
+    score_queries,
+    top_k,
+)
+from bayesian_bm25_js_spark.operators.wand import wand_topk
+
+
+@pytest.fixture(scope="module")
+def small_idx(spark):
+    from bayesian_bm25_js_spark.functions.prng import mulberry32
+
+    rng = mulberry32(99)
+    vocab = [f"w{i}" for i in range(50)]
+    corpus = [
+        [vocab[int(rng() * 50)] for _ in range(3 + int(rng() * 20))]
+        for _ in range(300)
+    ]
+    docs = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(corpus)],
+        "doc_id long, tokens array<string>",
+    )
+    return build_inverted_index(docs, method="lucene")
+
+
+QUERIES = [["w0", "w3"], ["w1", "w1", "w7"], ["w49"], ["zzz"]]
+
+
+def test_plain_sum_matches_exact_order_at_policy(spark, small_idx):
+    qdf = queries_to_df(spark, QUERIES)
+    fast = score_queries(small_idx, qdf, exact_order=False)
+    exact = score_queries(small_idx, qdf, exact_order=True)
+    a = {
+        (r["query_id"], r["doc_id"]): (round(r["score"], 6), r["tf_overlap"], r["dl"])
+        for r in fast.collect()
+    }
+    b = {
+        (r["query_id"], r["doc_id"]): (round(r["score"], 6), r["tf_overlap"], r["dl"])
+        for r in exact.collect()
+    }
+    assert a == b
+    # and within a few ulp in raw float64
+    raw_a = {(r["query_id"], r["doc_id"]): r["score"] for r in fast.collect()}
+    raw_b = {(r["query_id"], r["doc_id"]): r["score"] for r in exact.collect()}
+    for k in raw_a:
+        assert raw_a[k] == pytest.approx(raw_b[k], rel=1e-12)
+
+
+def test_terms_filter_is_semantic_noop(spark, small_idx):
+    qdf = queries_to_df(spark, QUERIES)
+    terms = sorted({t for q in QUERIES for t in q})
+    plain = score_queries(small_idx, qdf)
+    filtered = score_queries(small_idx, qdf, terms_filter=terms)
+    a = sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 9)) for r in plain.collect()
+    )
+    b = sorted(
+        (r["query_id"], r["doc_id"], round(r["score"], 9)) for r in filtered.collect()
+    )
+    assert a == b
+
+
+def test_wand_terms_filter_is_semantic_noop(spark, small_idx):
+    qdf = queries_to_df(spark, QUERIES)
+    terms = sorted({t for q in QUERIES for t in q})
+    a = wand_topk(small_idx, qdf, 5).orderBy("query_id", "rank").collect()
+    b = (
+        wand_topk(small_idx, qdf, 5, terms_filter=terms)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r["query_id"], r["rank"], r["doc_id"]) for r in a] == [
+        (r["query_id"], r["rank"], r["doc_id"]) for r in b
+    ]
+
+
+def test_topk_rounded_tiebreak_deterministic(spark):
+    """Scores equal at 6 dp but differing by ulps rank by doc_id asc."""
+    rows = [
+        (0, 10, 1.0000000001, 1, 5),
+        (0, 3, 1.0000000002, 1, 5),
+        (0, 7, 0.9999999999, 1, 5),
+        (0, 1, 0.5, 1, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, score double, tf_overlap int, dl int"
+    )
+    got = [
+        r["doc_id"]
+        for r in top_k(df, 3).orderBy("rank").collect()
+    ]
+    assert got == [3, 7, 10]  # all tie at 1.0 rounded -> doc_id asc
+    # raw ranking (fixture parity mode) orders by exact float
+    raw = [
+        r["doc_id"]
+        for r in top_k(df, 3, round_dp=None).orderBy("rank").collect()
+    ]
+    assert raw == [3, 10, 7]
+
+
+def test_term_id_rides_postings_and_is_pruned_from_hot_path(spark, small_idx):
+    assert "term_id" in small_idx.postings.columns
+    qdf = queries_to_df(spark, [["w0"]])
+    plan = score_queries(small_idx, qdf)._jdf.queryExecution().executedPlan().toString()
+    # the probe side never materializes the term string
+    assert "term_id" in plan

@@ -1,0 +1,202 @@
+"""Golden-fixture generator for the three queries DuckDB cannot express.
+
+Computes expected outputs for `minhash_lsh_pairs`, `simhash_pairs`, and
+`media_features` with an INDEPENDENT pure-Python/NumPy implementation —
+no Spark anywhere in this file; the xxhash64 family comes from
+bayesian_bm25_js_spark/functions/xxh64.py, a from-spec XXH64 port whose
+parity with Spark is pinned separately (tests/test_xxh64.py). The
+results are frozen as parquet under dist/golden/, and oracle_sql()
+exposes them to the correctness driver via DuckDB read_parquet().
+
+Run: python tools/make_golden.py [sf_dir] (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bayesian_bm25_js_spark.functions.xxh64 import (
+    spark_xxhash64,
+    xxh64_int_np,
+    xxh64_long_np,
+)
+
+TOKEN_RE = re.compile(r"[^a-z0-9]+")
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden")
+
+
+def round_half_up(x: float, nd: int = 6) -> float:
+    """Spark's round(): BigDecimal HALF_UP on the shortest decimal repr."""
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def tokenize(text: str) -> list[str]:
+    return [t for t in TOKEN_RE.split(text.lower()) if t]
+
+
+def read_documents(sf_dir: str):
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+
+
+def shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
+    """Distinct signed-int64 xxhash64(seed 42) of k-gram shingles;
+    docs shorter than k get one whole-doc shingle (operator contract)."""
+    n = max(1, len(tokens) - (k - 1))
+    hs = {spark_xxhash64(" ".join(tokens[i : i + k])) for i in range(n)}
+    return np.array(sorted(hs), dtype=np.int64)
+
+
+def minhash_golden(doc_ids, texts, n_hashes=64, shingle_k=3, n_bands=16, threshold=0.5):
+    rows_per_band = n_hashes // n_bands
+    sigs = {}
+    for did, text in zip(doc_ids, texts):
+        sh = shingle_hashes(tokenize(text), shingle_k).view(np.uint64)
+        # sig[i] = min over shingles of chained xxhash64(sh_long, i_int)
+        seeds = xxh64_long_np(sh, 42)  # (n_shingles,)
+        sig = np.empty(n_hashes, dtype=np.int64)
+        for i in range(n_hashes):
+            hs = xxh64_int_np(np.full(len(seeds), i, dtype=np.uint64), seeds)
+            sig[i] = hs.view(np.int64).min()
+        sigs[did] = sig
+
+    # band buckets
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, sig in sigs.items():
+        for b in range(n_bands):
+            sl = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            bh = spark_xxhash64(",".join(str(int(v)) for v in sl))
+            buckets.setdefault((b, bh), []).append(did)
+
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+
+    out = []
+    for a, b in sorted(cand):
+        est = float(np.count_nonzero(sigs[a] == sigs[b])) / n_hashes
+        if est >= threshold:
+            out.append((a, b, round_half_up(est)))
+    return out
+
+
+def simhash_golden(doc_ids, texts, max_distance=3, n_chunks=4):
+    sims = {}
+    for did, text in zip(doc_ids, texts):
+        toks = tokenize(text)
+        if not toks:
+            sims[did] = 0
+            continue
+        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+        hs = np.array([spark_xxhash64(str(t)) for t in uniq], dtype=np.int64).view(np.uint64)
+        w = counts.astype(np.int64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        s = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+        sim = np.uint64(0)
+        for i in range(64):
+            if s[i] > 0:
+                sim |= np.uint64(1) << np.uint64(i)
+        sims[did] = int(sim.view(np.int64) if hasattr(sim, "view") else sim)
+        sims[did] = int(np.uint64(sim).astype(np.int64))
+
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, sim in sims.items():
+        u = sim & ((1 << 64) - 1)
+        for c in range(n_chunks):
+            buckets.setdefault((c, (u >> (c * width)) & mask), []).append(did)
+
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+
+    out = []
+    for a, b in sorted(cand):
+        ham = bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+        if ham <= max_distance:
+            out.append((a, b, ham))
+    return out
+
+
+def media_golden(n_rows=64, dim=16):
+    """Independent recomputation of the fake-media feature pipeline:
+    payload = UTF-8 bytes of sha256 hexdigest of str(id); feature =
+    sha256(payload)-seeded uniform [-1, 1)."""
+    modalities = ["image", "audio", "video"]
+    out = []
+    for i in range(n_rows):
+        payload = hashlib.sha256(str(i).encode()).hexdigest().encode()
+        digest = hashlib.sha256(payload).digest()
+        rep = (digest * ((dim * 8) // len(digest) + 1))[: dim * 8]
+        raw = np.frombuffer(rep, dtype=np.uint64)
+        feat = (raw.astype(np.float64) / np.float64(2**64)) * 2.0 - 1.0
+        out.append((i, modalities[i % 3], round_half_up(float(feat[0])), dim))
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    doc_ids, texts = read_documents(sf_dir)
+
+    mh = minhash_golden(doc_ids, texts)
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array([r[0] for r in mh], pa.int64()),
+                "b": pa.array([r[1] for r in mh], pa.int64()),
+                "est_jaccard_r": pa.array([r[2] for r in mh], pa.float64()),
+            }
+        ),
+        os.path.join(GOLDEN_DIR, "minhash_lsh_pairs.parquet"),
+    )
+    print(f"minhash_lsh_pairs: {len(mh)} rows")
+
+    sh = simhash_golden(doc_ids, texts)
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array([r[0] for r in sh], pa.int64()),
+                "b": pa.array([r[1] for r in sh], pa.int64()),
+                "hamming": pa.array([r[2] for r in sh], pa.int32()),
+            }
+        ),
+        os.path.join(GOLDEN_DIR, "simhash_pairs.parquet"),
+    )
+    print(f"simhash_pairs: {len(sh)} rows")
+
+    md = media_golden()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in md], pa.int64()),
+                "modality": pa.array([r[1] for r in md], pa.string()),
+                "f0_r": pa.array([r[2] for r in md], pa.float64()),
+                "dim": pa.array([r[3] for r in md], pa.int32()),
+            }
+        ),
+        os.path.join(GOLDEN_DIR, "media_features.parquet"),
+    )
+    print(f"media_features: {len(md)} rows")
+
+
+if __name__ == "__main__":
+    main()
