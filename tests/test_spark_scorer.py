@@ -83,7 +83,7 @@ def test_retrieve_cat_k3(spark_scorer, oracle_scorer):
 def test_retrieve_cat_k6_dense_with_zero_fill(spark_scorer, oracle_scorer):
     """k > matched: zero-score docs fill ranks in doc_id order and get
     probability exactly 0.0 (scorer.ts:577)."""
-    out = collect_retrieve(spark_scorer.retrieve([["cat"]], 6))
+    out = collect_retrieve(spark_scorer.retrieve([["cat"]], 6, dense=True))
     assert_retrieval_matches(out, oracle_scorer, [["cat"]], 6)
     probs = {d: p for d, s, p in out[0]}
     assert probs[3] == 0.0  # "hello world" never matches "cat"
@@ -91,7 +91,7 @@ def test_retrieve_cat_k6_dense_with_zero_fill(spark_scorer, oracle_scorer):
 
 def test_retrieve_multiple_queries(spark_scorer, oracle_scorer):
     queries = [["cat"], ["dog"], ["machine", "learning"]]
-    out = collect_retrieve(spark_scorer.retrieve(queries, 3))
+    out = collect_retrieve(spark_scorer.retrieve(queries, 3, dense=True))
     assert_retrieval_matches(out, oracle_scorer, queries, 3)
 
 
@@ -107,7 +107,7 @@ def test_duplicate_query_terms_contribute_twice(spark_scorer, oracle_scorer):
 
 
 def test_unknown_terms_all_zero(spark_scorer):
-    out = collect_retrieve(spark_scorer.retrieve([["xyzzy", "plugh"]], 6))
+    out = collect_retrieve(spark_scorer.retrieve([["xyzzy", "plugh"]], 6, dense=True))
     assert [g[0] for g in out[0]] == [0, 1, 2, 3, 4, 5]  # doc_id asc tie-break
     assert all(g[1] == 0.0 and g[2] == 0.0 for g in out[0])
 
@@ -136,7 +136,7 @@ def test_explicit_base_rate(spark, small_corpus):
     o = OracleScorer(k1=1.2, b=0.75, method="lucene", base_rate=0.01)
     o.index(small_corpus)
     assert s.base_rate == pytest.approx(0.01)
-    out = collect_retrieve(s.retrieve([["cat"]], 6))
+    out = collect_retrieve(s.retrieve([["cat"]], 6, dense=True))
     assert_retrieval_matches(out, o, [["cat"]], 6)
     # base rate reduces probabilities but preserves ranking
     plain = OracleScorer(k1=1.2, b=0.75, method="lucene")
@@ -180,7 +180,7 @@ def test_robertson_and_atire_methods(spark, small_corpus):
         o = OracleScorer(k1=1.2, b=0.75, method=method)
         o.index(small_corpus)
         queries = [["cat", "dog"], ["machine"]]
-        out = collect_retrieve(s.retrieve(queries, 4))
+        out = collect_retrieve(s.retrieve(queries, 4, dense=True))
         assert_retrieval_matches(out, o, queries, 4)
 
 
@@ -190,7 +190,7 @@ def test_atire_df_equals_n_gives_zero_scores(spark):
     corpus = [["common", "a"], ["common", "b"], ["common", "c"]]
     s = BayesianBM25SparkScorer(method="atire")
     s.index(docs_df(spark, corpus))
-    out = collect_retrieve(s.retrieve([["common"]], 3))
+    out = collect_retrieve(s.retrieve([["common"]], 3, dense=True))
     assert all(g[1] == 0.0 and g[2] == 0.0 for g in out[0])
 
 
@@ -206,7 +206,7 @@ def test_add_documents_rebuilds(spark, small_corpus):
     o = OracleScorer(k1=1.2, b=0.75, method="lucene")
     o.index(small_corpus + [["cat"] * 5])
     assert s.num_docs == len(small_corpus) + 1
-    out = collect_retrieve(s.retrieve([["cat"]], 7))
+    out = collect_retrieve(s.retrieve([["cat"]], 7, dense=True))
     assert_retrieval_matches(out, o, [["cat"]], 7)
     probs = {d: p for d, _, p in out[0]}
     assert probs[new_id] > 0
@@ -226,7 +226,7 @@ def test_invalid_base_rate_method():
 def test_explain_trace_matches_probabilities(spark_scorer):
     """explain=True: posterior trace equals probability within 1e-6;
     zero-score rows have null traces (scorer.test.ts:492-506)."""
-    rows = spark_scorer.retrieve([["cat"]], 6, explain=True).collect()
+    rows = spark_scorer.retrieve([["cat"]], 6, explain=True, dense=True).collect()
     for r in rows:
         if r["probability"] > 0:
             assert r["posterior"] is not None
