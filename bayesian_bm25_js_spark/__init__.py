@@ -55,6 +55,7 @@ from bayesian_bm25_js_spark.functions.metrics import (  # noqa: F401
     expected_calibration_error,
     reliability_diagram,
 )
+from bayesian_bm25_js_spark.functions.xxh64 import spark_xxhash64  # noqa: F401
 from bayesian_bm25_js_spark.functions.learners import (  # noqa: F401
     AttentionLogOddsWeights,
     LearnableLogOddsWeights,

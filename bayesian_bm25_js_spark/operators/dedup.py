@@ -101,20 +101,26 @@ def minhash_lsh_pairs(
     signatures: DataFrame,
     n_bands: int = 16,
     threshold: float = 0.7,
+    n_hashes: int = None,
 ) -> DataFrame:
     """-> (a, b, est_jaccard) near-dup candidate pairs, a < b.
 
     Bands the signature (rows = len(sig)/n_bands), buckets on
     (band_id, hash(band slice)), self-joins buckets, dedups pairs and
-    keeps pairs whose signature-estimated Jaccard ≥ threshold."""
-    # rows per band from the actual signature length
-    first = signatures.select(F.size("sig").alias("n")).limit(1).collect()
-    n_hashes = first[0]["n"] if first else 64
+    keeps pairs whose signature-estimated Jaccard ≥ threshold.
+
+    Shuffle diet: the band self-join and the pair dedup carry ONLY
+    (doc_id, band_id, band_hash) — 24 bytes/row, not the 512-byte
+    signature arrays; signatures re-attach to the (much smaller)
+    deduped candidate set via two joins. Pass n_hashes to skip the
+    signature-length probe job."""
+    if n_hashes is None:
+        first = signatures.select(F.size("sig").alias("n")).limit(1).collect()
+        n_hashes = first[0]["n"] if first else 64
     rows = max(1, n_hashes // n_bands)
 
     bands = signatures.select(
         "doc_id",
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -132,21 +138,22 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band"),
-    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.band_id", "band.band_hash")
 
-    left = bands.select(
-        F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"),
-        "band_id", "band_hash",
-    )
-    right = bands.select(
-        F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"),
-        "band_id", "band_hash",
-    )
+    left = bands.select(F.col("doc_id").alias("a"), "band_id", "band_hash")
+    right = bands.select(F.col("doc_id").alias("b"), "band_id", "band_hash")
     pairs = (
         left.join(right, ["band_id", "band_hash"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        .select("a", "b")
         .distinct()
+    )
+    cand = pairs.join(
+        signatures.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")),
+        "a",
+    ).join(
+        signatures.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")),
+        "b",
     )
     est = F.size(
         F.filter(
@@ -154,7 +161,7 @@ def minhash_lsh_pairs(
         )
     ) / F.lit(float(n_hashes))
     return (
-        pairs.withColumn("est_jaccard", est)
+        cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
     )
@@ -245,11 +252,12 @@ def simhash_near_pairs(
         F.col("doc_id").alias("b"), F.col("simhash").alias("hb"),
         "chunk_id", "chunk",
     )
+    # dedup on the pair key only (ha/hb are functions of a/b)
     pairs = (
         left.join(right, ["chunk_id", "chunk"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "ha", "hb")
-        .distinct()
+        .dropDuplicates(["a", "b"])
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (

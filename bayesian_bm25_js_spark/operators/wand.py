@@ -195,13 +195,15 @@ def wand_topk(
     if block_max is None:
         block_max = block_max_table(index, block_size)
 
+    from bayesian_bm25_js_spark.operators.scoring import isin_filter
+
     def _isin_key(df: DataFrame):
         if "term_id" in df.columns:
             from bayesian_bm25_js_spark.functions.xxh64 import spark_xxhash64
 
             ids = [spark_xxhash64(t) for t in terms_filter]
-            return df.filter(F.col("term_id").isin(ids))
-        return df.filter(F.col("term").isin(list(terms_filter)))
+            return df.filter(isin_filter("term_id", ids))
+        return df.filter(isin_filter("term", terms_filter))
 
     if terms_filter is not None:
         block_max = _isin_key(block_max)

@@ -127,9 +127,18 @@ def load_packed_index(spark: SparkSession, path: str) -> tuple:
     term_stats = spark.read.parquet(f"{path}/term_stats")
     doc_stats = spark.read.parquet(f"{path}/doc_stats")
     unpacked = unpack_postings(packed, meta["block_size"]).drop("block_id")
-    postings = unpacked.join(doc_stats, "doc_id").join(
-        term_stats.select("term", "idf"), "term"
-    ).select("term", "doc_id", "tf", "dl", "idf")
+    postings = (
+        unpacked.join(doc_stats, "doc_id")
+        .join(term_stats.select("term", "idf"), "term")
+        .select(
+            F.xxhash64("term").alias("term_id"),
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            "idf",
+        )
+    )
     index = InvertedIndex(
         spark=spark,
         postings=postings,
