@@ -233,10 +233,23 @@ def run_bench(cpus: int) -> dict:
     log(f"[bench] wand pruning: kept {srow['k']}/{srow['t']} blocks = {blocks_kept_frac}")
 
     # -- hot-term skew workload ----------------------------------------------
+    # Every query contains the corpus's top-df term: the per-query
+    # scored set is ~the whole corpus, the workload the salted
+    # two-phase top-k exists for. Timed both ways: the single window
+    # partitioned only by query_id funnels each query's full scored
+    # stream through one task (the skew baseline); the salted two-phase
+    # variant slices it across (query_id, hash(doc_id) % 64) first.
     top_term = index.term_stats.orderBy(F.desc("df")).limit(1).collect()[0]["term"]
     hot_wl = [[top_term] + q[:2] for q in workload[:50]]
     hot_qdf = queries_to_df(spark, hot_wl)
     hot_terms = sorted({t for q in hot_wl for t in q})
+    hot_scores = score_queries(index, hot_qdf, terms_filter=hot_terms)
+    for label, two_phase in [("query_hot_salted", True), ("query_hot_onephase", False)]:
+        t0 = time.time()
+        calibrate(
+            top_k(hot_scores, 10, two_phase=two_phase), index, 1.0, 0.5, 0.05
+        ).count()
+        timings[label] = round(time.time() - t0, 3)
     t0 = time.time()
     calibrate(
         wand_topk(index, hot_qdf, 10, block_max=bm, block_size=BLOCK_SIZE,
@@ -246,7 +259,9 @@ def run_bench(cpus: int) -> dict:
     timings["query_hot_term"] = round(time.time() - t0, 3)
     log(f"[bench] hot-term workload (50 q, all containing '{top_term}', "
         f"df={index.term_stats.filter(F.col('term') == top_term).collect()[0]['df']}): "
-        f"{timings['query_hot_term']}s")
+        f"wand {timings['query_hot_term']}s, exhaustive salted "
+        f"{timings['query_hot_salted']}s vs single-window "
+        f"{timings['query_hot_onephase']}s")
 
     # -- packed-index leg ------------------------------------------------------
     if os.environ.get("BENCH_SKIP_PACKED") != "1":
