@@ -417,9 +417,14 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", tokenize_column(F.col("text")).alias("tokens")
     )
-    ids = docs.select(F.col("doc_id").alias("a"))
-    pairs = ids.select("a", (F.col("a") + 1).alias("b")).filter(
-        F.col("b") <= docs.agg(F.max("doc_id")).collect()[0][0]
+    # single job: the max-doc bound rides as a broadcast 1-row agg
+    # instead of a driver collect
+    mx = docs.agg(F.max("doc_id").alias("__mx"))
+    pairs = (
+        docs.select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("b") <= F.col("__mx"))
+        .select("a", "b")
     )
     out = ngram_jaccard_pairs(docs, pairs, shingle_k=3)
     return out.select(
@@ -517,16 +522,24 @@ def q_temporal_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000.0).alias("tsd"),
     )
-    stats = ev.agg(
-        F.max("tsd").alias("max_ts"), F.count(F.lit(1)).alias("n")
-    ).collect()[0]
-    raw_w = F.exp(F.lit(-0.6931471805599453 / half_life) * (F.lit(stats["max_ts"]) - F.col("tsd")))
-    with_raw = ev.withColumn("raw_w", raw_w)
-    w_sum = with_raw.agg(F.sum("raw_w").alias("s")).collect()[0]["s"]
+    # one Spark job: both scalars (max_ts+n, then the weight sum) ride
+    # as broadcast 1-row aggregates instead of driver collects
+    stats = ev.agg(F.max("tsd").alias("__max_ts"), F.count(F.lit(1)).alias("__n"))
+    with_raw = ev.crossJoin(F.broadcast(stats)).withColumn(
+        "raw_w",
+        F.exp(
+            F.lit(-0.6931471805599453 / half_life)
+            * (F.col("__max_ts") - F.col("tsd"))
+        ),
+    )
+    wsum = with_raw.agg(F.sum("raw_w").alias("__s"))
     return (
-        with_raw.select(
+        with_raw.crossJoin(F.broadcast(wsum))
+        .select(
             "event_id",
-            F.round(F.col("raw_w") * (stats["n"] / w_sum), 6).alias("weight_r"),
+            F.round(
+                F.col("raw_w") * (F.col("__n").cast("double") / F.col("__s")), 6
+            ).alias("weight_r"),
         )
         .orderBy("event_id")
     )
