@@ -125,6 +125,48 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+_STREAM_IDX_CACHE: dict = {}
+
+
+def q_streaming_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index grown by three epoch ingests of the streaming maintainer
+    (streaming/index_ingest.py — the foreachBatch body driven directly
+    in batch mode) must equal the batch build after its read-time
+    global-stat refresh (addDocuments semantics, scorer.ts:453-459), so
+    the oracle is the SAME exhaustive ranked CTE as bm25_topk."""
+    import json
+    import tempfile
+
+    from bayesian_bm25_js_spark.operators.scoring import (
+        queries_to_df,
+        score_queries,
+    )
+    from bayesian_bm25_js_spark.streaming.index_ingest import (
+        ingest_epoch,
+        load_streaming_index,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _STREAM_IDX_CACHE:
+        path = tempfile.mkdtemp(prefix="spark-graft-stream-idx-")
+        with open(f"{path}/meta.json", "w") as f:
+            json.dump({"k1": K1, "b": B, "method": "lucene"}, f)
+        docs = _docs(spark, sf_dir)
+        for epoch in range(3):
+            ingest_epoch(docs.filter(F.col("doc_id") % 3 == epoch), epoch, path)
+        _STREAM_IDX_CACHE[key] = load_streaming_index(spark, path)
+    scores = score_queries(
+        _STREAM_IDX_CACHE[key], queries_to_df(spark, QUERY_SET)
+    )
+    return (
+        _ranked_topk(scores)
+        .select(
+            "query_id", "rank", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_bm25_calibrated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bayesian_bm25_js_spark.operators.scoring import calibrate
 
@@ -620,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": q_postings,
         "bm25_topk": q_bm25_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
+        "streaming_index_topk": q_streaming_index_topk,
         "bm25_calibrated_topk": q_bm25_calibrated_topk,
         "ece": q_ece,
         "explain_trace": q_explain_trace,
@@ -788,6 +831,14 @@ def oracle_sql() -> dict[str, str]:
         # WAND is pruning-only: rank+score identical to exhaustive,
         # so its oracle IS the exhaustive ranked CTE.
         "bm25_wand_topk": f"""
+            WITH {_BM25_CTES}
+            SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score_r
+            FROM ranked WHERE rank <= {TOPK}
+            ORDER BY query_id, rank
+        """,
+        # Streaming maintenance converges to the batch build after the
+        # read-time stat refresh, so its oracle is ALSO that CTE.
+        "streaming_index_topk": f"""
             WITH {_BM25_CTES}
             SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score_r
             FROM ranked WHERE rank <= {TOPK}

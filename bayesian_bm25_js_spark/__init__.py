@@ -16,7 +16,8 @@ Layout:
               WAND, multi-field, dedup, similarity, text stats
   sources/    corpus synthesis/readers, index persistence, checkpoints
   plans/      plan inspection helpers (explain/shuffle audits)
-  streaming/  foreachBatch online-update wiring
+  streaming/  foreachBatch online-update wiring + incremental index
+              maintenance over a document stream (epoch delta piles)
 """
 
 __version__ = "0.1.0"
