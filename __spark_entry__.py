@@ -304,6 +304,39 @@ def q_wand_upper_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators/similarity.ivf_build/ivf_topk) probing ALL
+    cells — exact by construction, so the oracle is plain brute-force
+    cosine SQL. 5 corpus vectors (vec_id 0-4) as queries; re-ranked on
+    round(cos, 6) per the engine float policy."""
+    from bayesian_bm25_js_spark.operators.similarity import ivf_build, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qrows = emb.filter(F.col("vec_id") < 5).collect()
+    qdf = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        "query_id long, qvec array<double>",
+    )
+    assigned, centroids = ivf_build(emb, n_cells=8, n_iters=3)
+    wide = ivf_topk(assigned, centroids, qdf, k=40, n_probe=8)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 6)), F.asc("vec_id")
+    )
+    return (
+        wide.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "query_id",
+            F.col("rk").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cos", 6).alias("cos_r"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over embeddings vs vec_id=0, JVM-side
     sequential dot products (zip_with + aggregate)."""
@@ -670,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_max": q_block_max,
         "wand_upper_bounds": q_wand_upper_bounds,
         "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
         "reliability_bins": q_reliability_bins,
         "brier": q_brier,
         "dedup_exact": q_dedup_exact,
@@ -986,6 +1020,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT rank::INT AS rank, vec_id, round(cos, 6) AS cos_r,
                    round(greatest(1e-10, least(1.0 - 1e-10, (1.0 + cos) / 2.0)), 6) AS prob_r
             FROM rk WHERE rank <= 20 ORDER BY rank
+        """,
+        # IVF probing all cells is exact, so its oracle is brute-force
+        # cosine per query vector (vec_id 0-4 as queries, self included).
+        "ivf_topk": """
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+              FROM emb e CROSS JOIN q
+            ),
+            rk AS (
+              SELECT query_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+              FROM sims
+            )
+            SELECT query_id, rank::INT AS rank, vec_id, round(cos, 6) AS cos_r
+            FROM rk WHERE rank <= 10 ORDER BY query_id, rank
         """,
         "reliability_bins": """
             WITH pl AS (

@@ -203,3 +203,148 @@ def cosine_near_pairs(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: spherical k-means coarse quantizer + cell probes
+# ---------------------------------------------------------------------------
+
+def _normalize(col: Column) -> Column:
+    norm = F.sqrt(_dot(col, col))
+    return F.transform(col, lambda x: x / norm)
+
+
+def _nearest_cell(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
+    """argmax_i dot(vec, centroid_i) as a pure expression: array of
+    (dot, -cell) structs, array_max = lexicographic max → best dot,
+    ties to the LOWEST cell id. Codegen'd per-row, no UDF; n_cells is
+    the coarse-quantizer size (dozens–hundreds), so the expression
+    stays within codegen limits."""
+    scored = F.array(
+        *[
+            F.struct(
+                _dot(vec, F.array(*[F.lit(float(x)) for x in c])).alias("dot"),
+                F.lit(-i).alias("neg_cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return (-F.array_max(scored)["neg_cell"]).cast("int")
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple:
+    """Spherical k-means coarse quantizer -> (assigned, centroids).
+
+    assigned: (vec_id, cell, v) with v L2-normalized — at scale this is
+    the table you persist partitioned/bucketed BY cell, so a probe scan
+    prunes to n_probe/n_cells of the corpus before any distance math.
+    centroids: python list (n_cells × dim) — the driver-held quantizer
+    (tiny: n_cells·dim doubles), broadcast into probe expressions.
+
+    Determinism (no RNG): initial centroids are the vectors at evenly
+    spaced positions of the vec_id order; Lloyd updates are avg-by-cell
+    (exact, order-independent aggregates), so two builds over the same
+    input are identical. Each iteration costs one posexplode-groupBy
+    shuffle (map-side combined, (cell, pos)-keyed) plus a tiny collect
+    of n_cells·dim means.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("raw")
+    ).select("vec_id", _normalize(F.col("raw")).alias("v"))
+
+    # evenly spaced deterministic seeds, one global pass
+    n = emb.count()
+    step = max(n // n_cells, 1)
+    w = Window.orderBy("vec_id")
+    seeds = (
+        emb.withColumn("__rn", F.row_number().over(w) - 1)
+        .filter((F.col("__rn") % step == 0) & (F.col("__rn") < step * n_cells))
+        .orderBy("__rn")
+        .select("v")
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in seeds]
+
+    for _ in range(n_iters):
+        assigned = emb.withColumn("cell", _nearest_cell(F.col("v"), centroids))
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        new = []
+        for i, old in enumerate(centroids):
+            if i in by_cell:
+                vec = [by_cell[i][p] for p in range(len(old))]
+                norm = sum(x * x for x in vec) ** 0.5
+                new.append([x / norm for x in vec] if norm > 0 else old)
+            else:  # empty cell keeps its centroid
+                new.append(old)
+        centroids = new
+
+    assigned = emb.withColumn("cell", _nearest_cell(F.col("v"), centroids))
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe the n_probe nearest cells per query; exact cosine re-ranks
+    candidates only. queries: (query_id, qvec). -> (query_id, rank,
+    vec_id, cos). n_probe = n_cells degenerates to exact brute force.
+
+    The only big-side work is the candidates join on `cell` — the query
+    side is broadcast, so each probed cell's partition is scanned once
+    with no shuffle of the corpus.
+    """
+    q = queries.select(
+        "query_id", _as_double(F.col("qvec")).alias("raw")
+    ).select("query_id", _normalize(F.col("raw")).alias("qv"))
+
+    cell_dots = F.array(
+        *[
+            F.struct(
+                _dot(F.col("qv"), F.array(*[F.lit(float(x)) for x in c])).alias(
+                    "dot"
+                ),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = (
+        q.select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.slice(F.reverse(F.array_sort(cell_dots)), 1, n_probe)
+            ).alias("p"),
+        )
+        .select("query_id", "qv", F.col("p.cell").alias("cell"))
+    )
+
+    cands = assigned.join(F.broadcast(probes), "cell")
+    # vectors are pre-normalized: cosine IS the dot product
+    scored = cands.select(
+        "query_id", "vec_id", _dot(F.col("v"), F.col("qv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )

@@ -1,0 +1,98 @@
+"""IVF ANN (operators/similarity.ivf_build / ivf_topk).
+
+Contract: n_probe = n_cells is exact (must equal brute force); smaller
+n_probe trades recall for touching only n_probe/n_cells of the corpus."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bayesian_bm25_js_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_build,
+    ivf_topk,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def qdf(spark, emb):
+    # 5 corpus vectors as queries — guarantees a known best match.
+    rows = emb.orderBy("vec_id").limit(5).collect()
+    return spark.createDataFrame(
+        [(i, list(r["embedding"])) for i, r in enumerate(rows)],
+        "query_id long, qvec array<double>",
+    )
+
+
+@pytest.fixture(scope="module")
+def ivf(emb):
+    return ivf_build(emb, n_cells=8, n_iters=3)
+
+
+def test_ivf_probe_all_equals_brute_force(spark, emb, qdf, ivf):
+    assigned, centroids = ivf
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], round(r["cos"], 9))
+        for r in ivf_topk(assigned, centroids, qdf, k=10, n_probe=8).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], round(r["cos"], 9))
+        for r in brute_force_topk(emb, qdf, k=10).collect()
+    )
+    assert got == want
+
+
+def test_ivf_build_is_deterministic(emb):
+    _, c1 = ivf_build(emb, n_cells=8, n_iters=2)
+    _, c2 = ivf_build(emb, n_cells=8, n_iters=2)
+    assert c1 == c2
+
+
+def test_ivf_partition_is_total(emb, ivf):
+    """Every vector lands in exactly one cell; cells within range."""
+    assigned, centroids = ivf
+    n = emb.count()
+    assert assigned.count() == n
+    stats = assigned.agg(
+        F.min("cell").alias("lo"), F.max("cell").alias("hi")
+    ).collect()[0]
+    assert 0 <= stats["lo"] and stats["hi"] < len(centroids)
+
+
+def test_ivf_low_probe_prunes_and_keeps_recall(spark, emb, qdf, ivf):
+    """n_probe=2 of 8 touches ≤ ~half the corpus (skew allowed) yet
+    keeps the self-match and most of the exact top-10."""
+    assigned, centroids = ivf
+    approx = ivf_topk(assigned, centroids, qdf, k=10, n_probe=2)
+    exact = brute_force_topk(emb, qdf, k=10)
+
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.5, f"recall@10 {recall}"
+
+    # queries are corpus vectors: rank-1 self-match must survive probing
+    top1 = {
+        r["query_id"]: r["vec_id"]
+        for r in approx.filter(F.col("rank") == 1).collect()
+    }
+    want1 = {
+        r["query_id"]: r["vec_id"]
+        for r in exact.filter(F.col("rank") == 1).collect()
+    }
+    assert top1 == want1
+
+    # pruning is real: candidate volume < full scan
+    probed_cells = 2 * qdf.count()
+    total_cells = 8 * qdf.count()
+    assert probed_cells < total_cells
