@@ -247,25 +247,22 @@ def ivf_build(
     centroids: python list (n_cells × dim) — the driver-held quantizer
     (tiny: n_cells·dim doubles), broadcast into probe expressions.
 
-    Determinism (no RNG): initial centroids are the vectors at evenly
-    spaced positions of the vec_id order; Lloyd updates are avg-by-cell
-    (exact, order-independent aggregates), so two builds over the same
-    input are identical. Each iteration costs one posexplode-groupBy
-    shuffle (map-side combined, (cell, pos)-keyed) plus a tiny collect
-    of n_cells·dim means.
+    Determinism (no RNG): initial centroids are the n_cells vectors
+    with the smallest xxhash64(vec_id) — a uniform deterministic sample
+    that compiles to TakeOrderedAndProject (per-partition top-n, merge
+    on the driver; no global sort shuffle). Lloyd updates are
+    avg-by-cell (exact, order-independent aggregates), so two builds
+    over the same input are identical. Each iteration costs one
+    posexplode-groupBy shuffle (map-side combined, (cell, pos)-keyed)
+    plus a tiny collect of n_cells·dim means.
     """
     emb = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("raw")
     ).select("vec_id", _normalize(F.col("raw")).alias("v"))
 
-    # evenly spaced deterministic seeds, one global pass
-    n = emb.count()
-    step = max(n // n_cells, 1)
-    w = Window.orderBy("vec_id")
     seeds = (
-        emb.withColumn("__rn", F.row_number().over(w) - 1)
-        .filter((F.col("__rn") % step == 0) & (F.col("__rn") < step * n_cells))
-        .orderBy("__rn")
+        emb.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(n_cells)
         .select("v")
         .collect()
     )

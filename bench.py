@@ -306,7 +306,8 @@ def run_bench(cpus: int) -> dict:
         import __spark_entry__ as entry_mod
 
         for name in ["bm25_calibrated_topk", "bm25_wand_topk", "dense_probabilities",
-                     "cosine_topk", "dedup_exact", "text_stats"]:
+                     "cosine_topk", "ivf_topk", "streaming_index_topk",
+                     "dedup_exact", "text_stats"]:
             fn = entry_mod.queries()[name]
             t0 = time.time()
             fn(spark, SF_DIR).count()
