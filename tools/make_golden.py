@@ -5,7 +5,7 @@ Computes expected outputs for `minhash_lsh_pairs`, `simhash_pairs`, and
 no Spark anywhere in this file; the xxhash64 family comes from
 bayesian_bm25_js_spark/functions/xxh64.py, a from-spec XXH64 port whose
 parity with Spark is pinned separately (tests/test_xxh64.py). The
-results are frozen as parquet under dist/golden/, and oracle_sql()
+results are frozen as parquet under tests/golden/, and oracle_sql()
 exposes them to the correctness driver via DuckDB read_parquet().
 
 Run: python tools/make_golden.py [sf_dir] (default /root/testdata/sf0.01)
