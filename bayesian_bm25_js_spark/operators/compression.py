@@ -37,34 +37,106 @@ from bayesian_bm25_js_spark.operators.index_build import InvertedIndex
 DEFAULT_BLOCK_SIZE = 128  # scorer.ts:630
 
 
+# group-count thresholds: value v needs 1 + #(v >= 2^(7k)) 7-bit groups
+_VARINT_THRESHOLDS = np.array(
+    [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)], dtype=np.uint64
+)
+
+
 def varint_encode(values: np.ndarray) -> bytes:
-    out = bytearray()
-    for v in values:
-        v = int(v)
-        while True:
-            b = v & 0x7F
-            v >>= 7
-            if v:
-                out.append(b | 0x80)
-            else:
-                out.append(b)
-                break
-    return bytes(out)
+    """LEB128 encode non-negative ints (< 2^63), fully vectorized.
+
+    The codec runs inside the pack/unpack Arrow UDFs once per block —
+    a per-element Python loop here was the pack hot path (~2 loop
+    iterations per posting over every posting in the corpus)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    ngroups = 1 + (v[:, None] >= _VARINT_THRESHOLDS[None, :]).sum(axis=1)
+    maxg = int(ngroups.max())
+    shifts = np.uint64(7) * np.arange(maxg, dtype=np.uint64)
+    chunks = ((v[:, None] >> shifts[None, :]) & np.uint64(0x7F)).astype(np.uint8)
+    gidx = np.arange(maxg)
+    valid = gidx[None, :] < ngroups[:, None]
+    cont = gidx[None, :] < (ngroups[:, None] - 1)
+    chunks = np.where(cont, chunks | 0x80, chunks)
+    # row-major flatten of the valid mask keeps per-value group order
+    return chunks[valid].tobytes()
 
 
 def varint_decode(data: bytes) -> List[int]:
-    out: List[int] = []
-    shift = 0
-    cur = 0
-    for b in data:
-        cur |= (b & 0x7F) << shift
-        if b & 0x80:
-            shift += 7
-        else:
-            out.append(cur)
-            cur = 0
-            shift = 0
-    return out
+    """Vectorized LEB128 decode: segment boundaries at clear
+    continuation bits, per-segment horner sum via add.reduceat.
+    An incomplete trailing value (continuation bit set on the last
+    byte) is dropped, matching the scalar decoder's behavior."""
+    if not data:
+        return []
+    b = np.frombuffer(data, dtype=np.uint8)
+    end_idx = np.nonzero((b & 0x80) == 0)[0]
+    if end_idx.size == 0:
+        return []
+    b = b[: end_idx[-1] + 1]
+    starts = np.empty_like(end_idx)
+    starts[0] = 0
+    starts[1:] = end_idx[:-1] + 1
+    pos = np.arange(len(b), dtype=np.uint64) - np.repeat(
+        starts.astype(np.uint64), end_idx - starts + 1
+    )
+    vals = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos)
+    return [int(x) for x in np.add.reduceat(vals, starts)]
+
+
+def _encode_rows(values: np.ndarray, row_starts: np.ndarray, lens: np.ndarray):
+    """Encode many rows' values in ONE vectorized pass -> list[bytes].
+
+    values: all rows' non-negative ints concatenated in row order;
+    row_starts/lens: each row's slice of `values`. Byte-identical to
+    calling varint_encode per row, but the per-value work happens once
+    per Arrow batch instead of once per block."""
+    n_rows = len(lens)
+    if values.size == 0:
+        return [b""] * n_rows
+    v = values.astype(np.uint64, copy=False)
+    ngroups = 1 + (v[:, None] >= _VARINT_THRESHOLDS[None, :]).sum(axis=1)
+    maxg = int(ngroups.max())
+    shifts = np.uint64(7) * np.arange(maxg, dtype=np.uint64)
+    chunks = ((v[:, None] >> shifts[None, :]) & np.uint64(0x7F)).astype(np.uint8)
+    gidx = np.arange(maxg)
+    valid = gidx[None, :] < ngroups[:, None]
+    cont = gidx[None, :] < (ngroups[:, None] - 1)
+    chunks = np.where(cont, chunks | 0x80, chunks)
+    buf = chunks[valid].tobytes()
+    cum = np.concatenate(([0], np.cumsum(ngroups)))
+    offs_lo = cum[row_starts]
+    offs_hi = cum[row_starts + lens]
+    return [buf[lo:hi] for lo, hi in zip(offs_lo, offs_hi)]
+
+
+def _decode_rows(blobs) -> tuple:
+    """Decode many rows' varint blobs in ONE vectorized pass.
+
+    -> (all_values uint64 in row order, row_counts int64). Inverse of
+    _encode_rows; complete values only (every stored blob ends with a
+    clear continuation bit)."""
+    byte_lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
+    big = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    if big.size == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(len(blobs), dtype=np.int64)
+    ends = (big & 0x80) == 0
+    end_idx = np.nonzero(ends)[0]
+    starts = np.empty_like(end_idx)
+    starts[0] = 0
+    starts[1:] = end_idx[:-1] + 1
+    pos = np.arange(len(big), dtype=np.uint64) - np.repeat(
+        starts.astype(np.uint64), end_idx - starts + 1
+    )
+    vals = (big & 0x7F).astype(np.uint64) << (np.uint64(7) * pos)
+    all_values = np.add.reduceat(vals, starts)
+    # per-row value count = clear-continuation bytes inside the row's span
+    cum_ends = np.concatenate(([0], np.cumsum(ends)))
+    byte_offs = np.concatenate(([0], np.cumsum(byte_lens)))
+    row_counts = cum_ends[byte_offs[1:]] - cum_ends[byte_offs[:-1]]
+    return all_values, row_counts
 
 
 def pack_postings(
@@ -94,15 +166,35 @@ def pack_postings(
     contrib = index.tf_norm_column(F.col("tf"), F.col("dl")) * F.col("idf")
 
     @pandas_udf("struct<doc_deltas:binary,tfs:binary>")
-    def _pack(entries: pd.Series, bases: pd.Series) -> pd.DataFrame:
-        deltas_out, tfs_out = [], []
-        for arr, base in zip(entries, bases):
-            doc_ids = np.array([e["doc_id"] for e in arr], dtype=np.int64)
-            tfs = np.array([e["tf"] for e in arr], dtype=np.int64)
-            gaps = np.diff(doc_ids, prepend=int(base))
-            deltas_out.append(varint_encode(gaps))
-            tfs_out.append(varint_encode(tfs))
-        return pd.DataFrame({"doc_deltas": deltas_out, "tfs": tfs_out})
+    def _pack(
+        doc_arrs: pd.Series, tf_arrs: pd.Series, bases: pd.Series
+    ) -> pd.DataFrame:
+        # primitive array inputs (entries.doc_id / entries.tf projected
+        # JVM-side): Arrow hands each row as a numpy array — no
+        # per-posting Python. Whole batch encoded in one pass.
+        lens = np.fromiter(
+            (len(a) for a in doc_arrs), dtype=np.int64, count=len(doc_arrs)
+        )
+        row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        if lens.sum() == 0:
+            empty = [b""] * len(lens)
+            return pd.DataFrame({"doc_deltas": empty, "tfs": empty})
+        all_docs = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in doc_arrs]
+        )
+        all_tfs = np.concatenate([np.asarray(a, dtype=np.int64) for a in tf_arrs])
+        gaps = np.empty_like(all_docs)
+        gaps[1:] = all_docs[1:] - all_docs[:-1]
+        nz = lens > 0
+        gaps[row_starts[nz]] = all_docs[row_starts[nz]] - np.asarray(
+            bases, dtype=np.int64
+        )[nz]
+        return pd.DataFrame(
+            {
+                "doc_deltas": _encode_rows(gaps, row_starts, lens),
+                "tfs": _encode_rows(all_tfs, row_starts, lens),
+            }
+        )
 
     if pack_by == "range":
         with_block = index.postings.withColumn(
@@ -130,7 +222,10 @@ def pack_postings(
         )
     )
     packed = grouped.withColumn(
-        "blob", _pack(F.col("entries"), F.col("min_doc_id"))
+        "blob",
+        _pack(
+            F.col("entries.doc_id"), F.col("entries.tf"), F.col("min_doc_id")
+        ),
     ).select(
         "term",
         "block_id",
@@ -147,28 +242,46 @@ def pack_postings(
 def unpack_postings(packed: DataFrame, block_size: int = DEFAULT_BLOCK_SIZE) -> DataFrame:
     """packed blocks -> (term, block_id, doc_id, tf). Inverse of pack."""
 
-    @pandas_udf("array<struct<doc_id:long,tf:int>>")
-    def _unpack(deltas: pd.Series, tfs: pd.Series, bases: pd.Series) -> pd.Series:
-        out = []
-        for d, t, base in zip(deltas, tfs, bases):
-            gaps = varint_decode(bytes(d))
-            tf_vals = varint_decode(bytes(t))
-            doc_ids = np.cumsum(gaps) + int(base)
-            out.append(
-                [{"doc_id": int(did), "tf": int(tf)} for did, tf in zip(doc_ids, tf_vals)]
-            )
-        return pd.Series(out)
+    @pandas_udf("struct<doc_ids:array<bigint>,tfs:array<int>>")
+    def _unpack(deltas: pd.Series, tfs: pd.Series, bases: pd.Series) -> pd.DataFrame:
+        # whole-batch vectorized decode; per-row work is one np.split
+        # slice, and the struct rows are zipped JVM-side (arrays_zip)
+        d_blobs = [bytes(d) for d in deltas]
+        t_blobs = [bytes(t) for t in tfs]
+        gaps, counts = _decode_rows(d_blobs)
+        tf_all, t_counts = _decode_rows(t_blobs)
+        # per-row cumsum of gaps rebased to the block's min_doc_id:
+        # global cumsum minus the cumsum just before each row's start
+        g = np.cumsum(gaps.astype(np.int64))
+        row_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        g_before = np.where(row_starts > 0, g[row_starts - 1], 0)
+        base_arr = np.asarray(bases, dtype=np.int64)
+        doc_all = (
+            g - np.repeat(g_before, counts) + np.repeat(base_arr, counts)
+            if gaps.size
+            else np.empty(0, dtype=np.int64)
+        )
+        splits = np.cumsum(counts)[:-1]
+        return pd.DataFrame(
+            {
+                "doc_ids": np.split(doc_all, splits),
+                "tfs": [a.astype(np.int32) for a in np.split(tf_all.astype(np.int64), np.cumsum(t_counts)[:-1])],
+            }
+        )
 
     return (
         packed.withColumn(
-            "entry",
-            F.explode(_unpack(F.col("doc_deltas"), F.col("tfs"), F.col("min_doc_id"))),
+            "blob",
+            _unpack(F.col("doc_deltas"), F.col("tfs"), F.col("min_doc_id")),
+        )
+        .withColumn(
+            "entry", F.explode(F.arrays_zip("blob.doc_ids", "blob.tfs"))
         )
         .select(
             "term",
             "block_id",
-            F.col("entry.doc_id").alias("doc_id"),
-            F.col("entry.tf").alias("tf"),
+            F.col("entry.doc_ids").cast("long").alias("doc_id"),
+            F.col("entry.tfs").cast("int").alias("tf"),
         )
     )
 

@@ -153,3 +153,36 @@ def test_balanced_fusion_is_probability(sp, cos, w):
         np.asarray(fusion.balanced_log_odds_fusion(np.array([sp]), np.array([cos]), w))[0]
     )
     assert 0.0 <= out <= 1.0 and not math.isnan(out)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**62), max_size=40),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=150, deadline=None)  # first call pays module import
+def test_batched_varint_matches_scalar_codec(rows):
+    """_encode_rows/_decode_rows (the whole-Arrow-batch vectorized
+    codec inside pack/unpack) are byte- and value-identical to the
+    public per-block varint functions."""
+    from bayesian_bm25_js_spark.operators.compression import (
+        _decode_rows,
+        _encode_rows,
+        varint_decode,
+        varint_encode,
+    )
+
+    lens = np.array([len(r) for r in rows], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    flat = np.array([v for r in rows for v in r], dtype=np.uint64)
+
+    blobs = _encode_rows(flat, starts, lens)
+    assert blobs == [varint_encode(np.array(r, dtype=np.uint64)) for r in rows]
+
+    vals, counts = _decode_rows(blobs)
+    assert counts.tolist() == [len(r) for r in rows]
+    assert [int(v) for v in vals] == [v for r in rows for v in r]
+    for blob, r in zip(blobs, rows):
+        assert varint_decode(blob) == list(r)
