@@ -137,3 +137,55 @@ def synthesize_media(spark, n_rows: int = 64) -> DataFrame:
             (F.pmod(F.col("id"), F.lit(50)) + 1).cast("int").alias("n_frames"),
         ).alias("meta"),
     )
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    decode: str = "fake",
+) -> DataFrame:
+    """Image resize stage: media -> media with image payloads replaced
+    by the resized encoding and meta.width/height updated (non-image
+    rows pass through untouched).
+
+    decode="real" is the integration point for an actual resampler
+    (PIL.Image.resize) — not installed in this container. The default
+    deterministic fake derives the new payload as
+    sha256(original ++ "WxH"), so the plumbing a real kernel needs —
+    mapInPandas over arrow batches, binary-in/binary-out, metadata
+    rewrite, modality passthrough — is exercised end-to-end and the
+    output is stable for oracle comparison.
+    """
+    if decode == "real":
+        raise NotImplementedError(
+            "real image resampling (PIL) is not installed in this "
+            "container; use decode='fake' for the deterministic stub"
+        )
+    if decode != "fake":
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+    if width < 1 or height < 1:
+        raise ValueError(f"target size must be positive, got {width}x{height}")
+
+    tag = f"{width}x{height}".encode()
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["modality"] == "image"
+            data = pdf["data"].tolist()
+            meta = pdf["meta"].tolist()
+            for i in np.nonzero(is_img.to_numpy())[0]:
+                data[i] = hashlib.sha256(bytes(data[i]) + tag).digest()
+                m = dict(meta[i])
+                m["width"], m["height"] = width, height
+                meta[i] = m
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "data": data,
+                    "meta": meta,
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)

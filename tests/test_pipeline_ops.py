@@ -247,3 +247,43 @@ def test_multimodal_plumbing(spark):
     vid = media.filter("modality = 'video'").count()
     assert frames.select("doc_id").distinct().count() == vid
     assert frames.filter("frame_idx < 0").count() == 0
+
+
+def test_resize_images_rewrites_payload_and_meta(spark):
+    import hashlib
+
+    from bayesian_bm25_js_spark.operators.multimodal import (
+        resize_images,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 12)
+    out = resize_images(media, 32, 24).collect()
+    src = {r["doc_id"]: r for r in media.collect()}
+    assert len(out) == 12
+    for r in out:
+        orig = src[r["doc_id"]]
+        if r["modality"] == "image":
+            want = hashlib.sha256(bytes(orig["data"]) + b"32x24").digest()
+            assert bytes(r["data"]) == want
+            assert (r["meta"]["width"], r["meta"]["height"]) == (32, 24)
+            # untouched meta fields survive the rewrite
+            assert r["meta"]["sample_rate"] == orig["meta"]["sample_rate"]
+        else:  # non-image rows pass through byte-identical
+            assert bytes(r["data"]) == bytes(orig["data"])
+            assert r["meta"] == orig["meta"]
+
+
+def test_resize_images_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from bayesian_bm25_js_spark.operators.multimodal import (
+        resize_images,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 3)
+    with _pytest.raises(NotImplementedError):
+        resize_images(media, 8, 8, decode="real")
+    with _pytest.raises(ValueError):
+        resize_images(media, 0, 8)
