@@ -624,13 +624,16 @@ def q_fusion_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """probAnd/probOr (fusion.ts:53-97) as distributed log-space
     aggregates: per user, fuse per-event pseudo-probabilities."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    vmax = ev.agg(F.max("value")).collect()[0][0]
+    # one Spark job: vmax rides as a broadcast 1-row agg instead of a
+    # driver collect (same pattern as temporal_weights)
+    vmax = ev.agg(F.max("value").alias("__vmax"))
     p = F.greatest(
         F.lit(1e-10),
-        F.least(F.lit(1.0 - 1e-10), F.col("value") / F.lit(vmax + 1.0)),
+        F.least(F.lit(1.0 - 1e-10), F.col("value") / (F.col("__vmax") + 1.0)),
     )
     return (
-        ev.select("user_id", p.alias("p"))
+        ev.crossJoin(F.broadcast(vmax))
+        .select("user_id", p.alias("p"))
         .groupBy("user_id")
         .agg(
             F.round(F.exp(F.sum(F.log("p"))), 6).alias("prob_and_r"),

@@ -96,14 +96,19 @@ def pseudo_query_scored_df(index: InvertedIndex, docs_tokens):
 
 
 def sample_pseudo_query_scores(
-    index: InvertedIndex, docs_tokens=None
+    index: InvertedIndex, docs_tokens=None, scored=None
 ) -> List[np.ndarray]:
     """Per-pseudo-query positive score arrays (scorer.ts:199-226) —
     DRIVER materialization: bit-exact reference estimator input, but
     bounded only by the pseudo-queries' match counts. The scorer
     switches to the distributed estimators past `estimation_cap`
-    positives (see estimate_parameters_distributed)."""
-    scored = pseudo_query_scored_df(index, docs_tokens)
+    positives (see estimate_parameters_distributed).
+
+    scored: a prebuilt (ideally persisted) pseudo_query_scored_df —
+    pass it so the pseudo-query scoring pipeline runs once per index()
+    instead of being rebuilt here (ADVICE r02)."""
+    if scored is None:
+        scored = pseudo_query_scored_df(index, docs_tokens)
     if scored is None:
         return []
     rows = (

@@ -17,7 +17,14 @@ Schema contract:
 from __future__ import annotations
 
 import hashlib
+import importlib.util
 from typing import Iterator
+
+# Real decoders are OPTIONAL dependencies: decode="real" works when PIL
+# is importable (image rows), and degrades to a clear error naming the
+# missing library otherwise. The deterministic "fake" decoder remains
+# the default either way.
+HAS_PIL = importlib.util.find_spec("PIL") is not None
 
 import numpy as np
 import pandas as pd
@@ -77,21 +84,31 @@ def extract_features(
 ) -> DataFrame:
     """media -> (doc_id, modality, feature array<double>[FEATURE_DIM]).
 
-    decode="real" is the integration point for actual decoders
-    (PIL/librosa/av) — not available in this container."""
-    if decode == "real":
+    decode="real" runs actual decoders where the optional libraries are
+    importable: PIL for image rows (FEATURE_DIM-bin grayscale
+    histogram). Audio/video decoders (librosa/av) are not integrated
+    yet; real-mode rows of those modalities raise inside the task. With
+    PIL absent, decode="real" raises at plan time naming the missing
+    dependency."""
+    if decode == "real" and not HAS_PIL:
         raise NotImplementedError(
-            "real decoders (PIL/librosa/av) are not installed in this "
-            "container; use decode='fake' for the deterministic stub"
+            "decode='real' requires PIL (pillow), which is not "
+            "installed; use decode='fake' for the deterministic stub"
         )
-    if decode != "fake":
+    if decode not in ("fake", "real"):
         raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_decode_features(bytes(b)).tolist() for b in pdf["data"]
-            ]
+            if decode == "real":
+                feats = [
+                    _real_decode_features(bytes(b), m)
+                    for b, m in zip(pdf["data"], pdf["modality"])
+                ]
+            else:
+                feats = [
+                    _fake_decode_features(bytes(b)).tolist() for b in pdf["data"]
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -101,6 +118,25 @@ def extract_features(
             )
 
     return media.mapInPandas(_extract, schema=FEATURES_SCHEMA)
+
+
+def _real_decode_features(payload: bytes, modality: str, dim: int = FEATURE_DIM):
+    """PIL-backed image features: dim-bin normalized grayscale
+    histogram. Runs inside the Arrow batch, one decode per row."""
+    if modality != "image":
+        raise NotImplementedError(
+            f"real decode for modality {modality!r} is not integrated "
+            "(librosa/av); image rows only"
+        )
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    hist = np.asarray(img.histogram(), dtype=np.float64)  # 256 bins
+    binned = hist.reshape(dim, 256 // dim).sum(axis=1)
+    total = binned.sum()
+    return (binned / total if total > 0 else binned).tolist()
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
@@ -149,25 +185,35 @@ def resize_images(
     by the resized encoding and meta.width/height updated (non-image
     rows pass through untouched).
 
-    decode="real" is the integration point for an actual resampler
-    (PIL.Image.resize) — not installed in this container. The default
+    decode="real" resamples with PIL (optional dependency: raises at
+    plan time naming it when absent) and re-encodes as PNG. The default
     deterministic fake derives the new payload as
     sha256(original ++ "WxH"), so the plumbing a real kernel needs —
     mapInPandas over arrow batches, binary-in/binary-out, metadata
     rewrite, modality passthrough — is exercised end-to-end and the
     output is stable for oracle comparison.
     """
-    if decode == "real":
+    if decode == "real" and not HAS_PIL:
         raise NotImplementedError(
-            "real image resampling (PIL) is not installed in this "
-            "container; use decode='fake' for the deterministic stub"
+            "decode='real' requires PIL (pillow), which is not "
+            "installed; use decode='fake' for the deterministic stub"
         )
-    if decode != "fake":
+    if decode not in ("fake", "real"):
         raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
     if width < 1 or height < 1:
         raise ValueError(f"target size must be positive, got {width}x{height}")
 
     tag = f"{width}x{height}".encode()
+
+    def _real_resize(payload: bytes) -> bytes:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        out = io.BytesIO()
+        img.resize((width, height)).save(out, format="PNG")
+        return out.getvalue()
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -175,7 +221,10 @@ def resize_images(
             data = pdf["data"].tolist()
             meta = pdf["meta"].tolist()
             for i in np.nonzero(is_img.to_numpy())[0]:
-                data[i] = hashlib.sha256(bytes(data[i]) + tag).digest()
+                if decode == "real":
+                    data[i] = _real_resize(bytes(data[i]))
+                else:
+                    data[i] = hashlib.sha256(bytes(data[i]) + tag).digest()
                 m = dict(meta[i])
                 m["width"], m["height"] = width, height
                 meta[i] = m

@@ -136,31 +136,43 @@ class BayesianBM25SparkScorer:
         alpha, beta = self._user_alpha, self._user_beta
         base_rate = None
         if need_estimation:
+            # ONE scoring pipeline per index(): the pseudo-query scored
+            # DF is persisted across the cap-probe count and whichever
+            # estimator path reads it (ADVICE r02: the driver path used
+            # to rebuild and re-execute it from scratch).
             scored = pseudo_query_scored_df(self._index, docs)
-            n_pos = (
-                0
-                if scored is None
-                else scored.filter(F.col("score") > 0).count()
-            )
-            if n_pos <= estimation_cap:
-                per_query_scores = sample_pseudo_query_scores(self._index, docs)
-                alpha, beta = estimate_parameters(
-                    per_query_scores, self._user_alpha, self._user_beta
+            if scored is not None:
+                scored = scored.persist()
+            try:
+                n_pos = (
+                    0
+                    if scored is None
+                    else scored.filter(F.col("score") > 0).count()
                 )
-                if self._user_base_rate == "auto":
-                    base_rate = estimate_base_rate(
-                        per_query_scores,
-                        self._index.n_docs,
-                        self._base_rate_method,
+                if n_pos <= estimation_cap:
+                    per_query_scores = sample_pseudo_query_scores(
+                        self._index, docs, scored=scored
                     )
-            else:
-                alpha, beta = estimate_parameters_distributed(
-                    scored, self._user_alpha, self._user_beta
-                )
-                if self._user_base_rate == "auto":
-                    base_rate = estimate_base_rate_distributed(
-                        scored, self._index.n_docs, self._base_rate_method
+                    alpha, beta = estimate_parameters(
+                        per_query_scores, self._user_alpha, self._user_beta
                     )
+                    if self._user_base_rate == "auto":
+                        base_rate = estimate_base_rate(
+                            per_query_scores,
+                            self._index.n_docs,
+                            self._base_rate_method,
+                        )
+                else:
+                    alpha, beta = estimate_parameters_distributed(
+                        scored, self._user_alpha, self._user_beta
+                    )
+                    if self._user_base_rate == "auto":
+                        base_rate = estimate_base_rate_distributed(
+                            scored, self._index.n_docs, self._base_rate_method
+                        )
+            finally:
+                if scored is not None:
+                    scored.unpersist()
         else:
             alpha, beta = estimate_parameters(
                 [], self._user_alpha, self._user_beta

@@ -46,7 +46,15 @@ def isin_filter(col_name: str, values) -> "F.Column":
     of driver time per batch for a 1600-term filter; parsing a single
     SQL string costs ~nothing."""
     vals = list(values)
-    if all(isinstance(v, (int,)) and not isinstance(v, bool) for v in vals):
+    if not vals:
+        # `col IN ()` is a parse error; an empty filter matches nothing.
+        return F.lit(False)
+    for v in vals:
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
+            raise TypeError(
+                f"isin_filter supports int/str values only, got {type(v).__name__}"
+            )
+    if all(isinstance(v, int) for v in vals):
         lst = ",".join(str(v) for v in vals)
     else:
         lst = ",".join("'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'" for v in vals)

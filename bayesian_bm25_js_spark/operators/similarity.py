@@ -17,7 +17,7 @@ feed the hybrid fusion layer (fusion.ts:23-32, 312-328).
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
@@ -92,13 +92,18 @@ def lsh_topk(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 signature band with the
     query; exact cosine re-ranks candidates only.
 
     Recall/cost dial: more bands → higher recall, more candidates.
+    dim: embedding dimensionality — pass it so no driver-side `.first()`
+    probe job runs before the main query (it is schema knowledge the
+    caller has); omitted, it is probed once from the query side (tiny).
     """
-    dim = len(queries.select("qvec").first()["qvec"])
+    if dim is None:
+        dim = len(queries.select("qvec").first()["qvec"])
     planes = hyperplanes(dim, n_planes, seed)
     width = n_planes // n_bands
     mask = (1 << width) - 1
@@ -155,10 +160,13 @@ def cosine_near_pairs(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH band candidates, exact cosine
-    ≥ threshold verification. -> (a, b, cos)."""
-    dim = len(embeddings.select(vec_col).first()[vec_col])
+    ≥ threshold verification. -> (a, b, cos). Pass dim (embedding
+    dimensionality) to avoid a driver-side `.first()` probe job."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[vec_col])
     planes = hyperplanes(dim, n_planes, seed)
     width = n_planes // n_bands
     mask = (1 << width) - 1

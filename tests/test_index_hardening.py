@@ -57,14 +57,14 @@ def test_varint_roundtrip():
 def test_pack_unpack_roundtrip(rnd_index):
     _, idx = rnd_index
     packed = pack_postings(idx, block_size=64)
-    restored = unpack_postings(packed, block_size=64)
+    restored = unpack_postings(packed)
     orig = {
-        (r["term"], r["doc_id"]): r["tf"]
-        for r in idx.postings.select("term", "doc_id", "tf").collect()
+        (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+        for r in idx.postings.select("term", "doc_id", "tf", "dl").collect()
     }
     rest = {
-        (r["term"], r["doc_id"]): r["tf"]
-        for r in restored.select("term", "doc_id", "tf").collect()
+        (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+        for r in restored.select("term", "doc_id", "tf", "dl").collect()
     }
     assert rest == orig
 

@@ -240,9 +240,12 @@ def test_multimodal_plumbing(spark):
     assert {r["doc_id"]: r["feature"] for r in feats} == {
         r["doc_id"]: r["feature"] for r in again
     }
-    # real decoder is an explicit stub
-    with pytest.raises(NotImplementedError):
-        extract_features(media, decode="real")
+    # real decoder: clear error naming the missing optional dep
+    from bayesian_bm25_js_spark.operators.multimodal import HAS_PIL
+
+    if not HAS_PIL:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            extract_features(media, decode="real")
     frames = frame_sample(media, every_n=10)
     vid = media.filter("modality = 'video'").count()
     assert frames.select("doc_id").distinct().count() == vid
@@ -283,7 +286,53 @@ def test_resize_images_rejects_bad_args(spark):
     )
 
     media = synthesize_media(spark, 3)
-    with _pytest.raises(NotImplementedError):
-        resize_images(media, 8, 8, decode="real")
+    from bayesian_bm25_js_spark.operators.multimodal import HAS_PIL
+
+    if not HAS_PIL:
+        with _pytest.raises(NotImplementedError, match="PIL"):
+            resize_images(media, 8, 8, decode="real")
     with _pytest.raises(ValueError):
         resize_images(media, 0, 8)
+
+
+def test_real_decode_path_with_pil(spark):
+    """Exercises the decode='real' structure end-to-end when PIL is
+    installed (skipped in containers without it): PNG payloads are
+    decoded, resized, and histogram-featurized."""
+    from bayesian_bm25_js_spark.operators.multimodal import (
+        FEATURE_DIM,
+        HAS_PIL,
+        extract_features,
+        resize_images,
+    )
+
+    if not HAS_PIL:
+        pytest.skip("PIL not installed")
+    import io
+
+    from PIL import Image
+
+    def png(w, h, shade):
+        buf = io.BytesIO()
+        Image.new("L", (w, h), shade).save(buf, format="PNG")
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [
+            (0, "image", png(8, 6, 0), (8, 6, 0, 0)),
+            (1, "image", png(4, 4, 255), (4, 4, 0, 0)),
+        ],
+        "doc_id long, modality string, data binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    resized = resize_images(media, 2, 2, decode="real").collect()
+    for r in resized:
+        assert (r["meta"]["width"], r["meta"]["height"]) == (2, 2)
+        img = Image.open(io.BytesIO(bytes(r["data"])))
+        assert img.size == (2, 2)
+    feats = {r["doc_id"]: r["feature"] for r in
+             extract_features(media, decode="real").collect()}
+    assert len(feats[0]) == FEATURE_DIM
+    assert abs(sum(feats[0]) - 1.0) < 1e-9
+    # all-black image -> all mass in the first histogram bin
+    assert feats[0][0] == 1.0 and feats[1][-1] == 1.0

@@ -116,3 +116,21 @@ def test_wand_scoring_join_is_broadcast(spark, idx):
     ranked = wand_topk(idx, qdf, 3)
     assert has_broadcast_join(ranked)
     assert "CartesianProduct" not in plan_string(ranked)
+
+
+def test_packed_query_path_has_no_doc_stats_join(spark, idx, tmp_path):
+    """dl rides inside the packed blob, so the packed query path joins
+    only the vocab-sized term_stats — never the corpus-sized doc_stats
+    (VERDICT r02 "What's wrong" #2)."""
+    from bayesian_bm25_js_spark.sources.index_store import (
+        load_packed_index,
+        save_index,
+    )
+
+    path = str(tmp_path / "pidx")
+    save_index(idx, path, packed=True, block_size=64)
+    pidx, _ = load_packed_index(spark, path)
+    scores = score_queries(pidx, queries_to_df(spark, [["cat", "dog"]]))
+    plan = plan_string(scores)
+    assert "doc_stats" not in plan, plan
+    assert "term_stats" in plan, plan
