@@ -200,6 +200,25 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_bm25_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selectivity-routed top-k (operators/wand.auto_topk): per query,
+    WAND or salted-exhaustive by min-df — rank+score identical to the
+    exhaustive scorer either way, so the oracle is the SAME exhaustive
+    ranked CTE. hot_df_frac=0.05 and a zero batch-volume floor so the
+    sf0.01 QUERY_SET actually exercises BOTH branches (hot keywords
+    route exhaustive, tail queries route through WAND)."""
+    from bayesian_bm25_js_spark.operators.wand import auto_topk
+
+    idx = _index(spark, sf_dir)
+    ranked = auto_topk(
+        idx, QUERY_SET, TOPK, block_size=BLOCK_SIZE, hot_df_frac=0.05,
+        min_prunable_postings=0,
+    )
+    return ranked.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score_r")
+    ).orderBy("query_id", "rank")
+
+
 def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expected calibration error (metrics.ts:17-52) as a two-aggregate
     dataflow (functions/metrics.ece_df) over the same deterministic
@@ -304,22 +323,44 @@ def q_wand_upper_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CACHE: dict = {}
+
+
+def _ivf(spark: SparkSession, sf_dir: str) -> tuple:
+    """Build-once IVF quantizer per (session, sf_dir) — mirrors
+    _INDEX_CACHE so repeated probe queries don't pay the k-means build
+    (VERDICT r02 next-steps #5). -> (assigned, centroids)."""
+    from bayesian_bm25_js_spark.operators.similarity import ivf_build
+
+    key = (id(spark), sf_dir)
+    if key not in _IVF_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        _IVF_CACHE[key] = ivf_build(emb, n_cells=8, n_iters=3)
+    return _IVF_CACHE[key]
+
+
+def _ivf_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qrows = emb.filter(F.col("vec_id") < 5).collect()
+    return spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        "query_id long, qvec array<double>",
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (operators/similarity.ivf_build/ivf_topk) probing ALL
     cells — exact by construction, so the oracle is plain brute-force
     cosine SQL. 5 corpus vectors (vec_id 0-4) as queries; re-ranked on
     round(cos, 6) per the engine float policy."""
-    from bayesian_bm25_js_spark.operators.similarity import ivf_build, ivf_topk
+    from bayesian_bm25_js_spark.operators.similarity import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "embedding"
-    )
-    qrows = emb.filter(F.col("vec_id") < 5).collect()
-    qdf = spark.createDataFrame(
-        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
-        "query_id long, qvec array<double>",
-    )
-    assigned, centroids = ivf_build(emb, n_cells=8, n_iters=3)
+    qdf = _ivf_queries(spark, sf_dir)
+    assigned, centroids = _ivf(spark, sf_dir)
     wide = ivf_topk(assigned, centroids, qdf, k=40, n_probe=8)
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round(F.col("cos"), 6)), F.asc("vec_id")
@@ -698,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": q_postings,
         "bm25_topk": q_bm25_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
+        "bm25_auto_topk": q_bm25_auto_topk,
         "streaming_index_topk": q_streaming_index_topk,
         "bm25_calibrated_topk": q_bm25_calibrated_topk,
         "ece": q_ece,
@@ -868,6 +910,14 @@ def oracle_sql() -> dict[str, str]:
         # WAND is pruning-only: rank+score identical to exhaustive,
         # so its oracle IS the exhaustive ranked CTE.
         "bm25_wand_topk": f"""
+            WITH {_BM25_CTES}
+            SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score_r
+            FROM ranked WHERE rank <= {TOPK}
+            ORDER BY query_id, rank
+        """,
+        # The router only picks between two rank-identical strategies,
+        # so its oracle is ALSO the exhaustive ranked CTE.
+        "bm25_auto_topk": f"""
             WITH {_BM25_CTES}
             SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score_r
             FROM ranked WHERE rank <= {TOPK}

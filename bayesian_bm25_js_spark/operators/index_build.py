@@ -64,6 +64,10 @@ class InvertedIndex:
     k1: float
     b: float
     method: str
+    # True for layouts whose term_id exists only post-scan (packed
+    # store): scoring then ALSO applies the string term In-filter so
+    # the predicate reaches parquet row-group stats (see score_queries)
+    push_string_filter: bool = False
 
     def tf_norm_column(self, tf_col, dl_col):
         """BM25 term-frequency normalisation (bm25.ts:119-121):

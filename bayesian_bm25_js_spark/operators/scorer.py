@@ -71,6 +71,7 @@ class BayesianBM25SparkScorer:
         self._index: Optional[InvertedIndex] = None
         self._docs: Optional[DataFrame] = None
         self._transform: Optional[BayesianProbabilityTransform] = None
+        self._block_max: Optional[DataFrame] = None
 
     # -- state accessors -----------------------------------------------------
     @property
@@ -124,6 +125,9 @@ class BayesianBM25SparkScorer:
         )
 
         self._docs = docs
+        if self._block_max is not None:
+            self._block_max.unpersist()
+            self._block_max = None
         self._index = build_inverted_index(
             docs, k1=self.k1, b=self.b, method=self.method
         )
@@ -206,12 +210,24 @@ class BayesianBM25SparkScorer:
             scores = densify_scores(self._index, scores, qids)
         return scores
 
+    def _block_max_cached(self) -> DataFrame:
+        """Lazily built + persisted block-max metadata, shared by every
+        WAND/routed retrieve until the next index()."""
+        if self._block_max is None:
+            from bayesian_bm25_js_spark.operators.compression import (
+                block_max_table,
+            )
+
+            self._block_max = block_max_table(self._index).persist()
+        return self._block_max
+
     def retrieve(
         self,
         queries: Sequence[Sequence[str]],
         k: int = 10,
         explain: bool = False,
         dense: bool = False,
+        strategy: str = "auto",
     ) -> DataFrame:
         """-> (query_id, rank, doc_id, score, probability [, trace cols]).
 
@@ -222,10 +238,38 @@ class BayesianBM25SparkScorer:
         zero-score docs fill out ranks beyond the matched set
         (tie-broken by ascending doc_id) via a bounded cross join —
         fixture scale only (VERDICT r01 "What's wrong" #2).
+
+        strategy: "auto" (default) routes each query by selectivity —
+        block-max WAND for selective queries, the salted exhaustive
+        scorer when even the rarest term is ubiquitous (wand.auto_topk;
+        all three strategies are rank-identical under the 6-dp policy).
+        "wand" / "exhaustive" force one path. dense=True implies
+        exhaustive (pruning cannot zero-fill).
         """
         self._ensure_indexed()
+        if strategy not in ("auto", "wand", "exhaustive"):
+            raise ValueError(
+                f'strategy must be "auto", "wand" or "exhaustive", '
+                f"got {strategy!r}"
+            )
         t = self._transform
-        scored = top_k(self._score(queries, dense), k)
+        if dense or strategy == "exhaustive":
+            scored = top_k(self._score(queries, dense), k)
+        else:
+            from bayesian_bm25_js_spark.operators.wand import auto_topk, wand_topk
+
+            if strategy == "wand":
+                qdf = queries_to_df(self._index.spark, queries)
+                terms = sorted({tok for q in queries for tok in q})
+                scored = wand_topk(
+                    self._index, qdf, k,
+                    block_max=self._block_max_cached(), terms_filter=terms,
+                )
+            else:
+                scored = auto_topk(
+                    self._index, [list(q) for q in queries], k,
+                    block_max=self._block_max_cached(),
+                )
         out = calibrate(
             scored,
             self._index,

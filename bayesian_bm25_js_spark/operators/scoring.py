@@ -142,24 +142,31 @@ def score_queries(
         qt = qt.withColumn("is_first", F.lit(True))
     postings = index.postings
     join_key = "term"
+    if (
+        terms_filter is not None
+        and getattr(index, "push_string_filter", False)
+        and "term" in postings.columns
+    ):
+        # Layouts whose term_id only exists POST-scan (the packed
+        # delta+varint store computes it after decode) opt in to a
+        # STRING In-predicate too: term IN (...) reaches the parquet
+        # row-group stats, so non-matching blocks are skipped before
+        # any varint decode runs. The interned row cache skips this —
+        # its term_id filter below already batch-prunes, and an extra
+        # per-row string compare would cost the hot path.
+        postings = postings.filter(isin_filter("term", terms_filter))
     if "term_id" in postings.columns:
         # Interned hot path: probe/filter on 8-byte keys; the columnar
         # scan prunes the string column entirely.
         join_key = "term_id"
         qt = qt.withColumn("term_id", F.xxhash64("term")).drop("term")
         postings = postings.drop("term")
-    if terms_filter is not None:
-        # Semantically redundant with the join (it already restricts to
-        # query terms) but physically load-bearing: the In-predicate
-        # reaches the term_id-sorted cache / term-bucketed parquet scan
-        # and prunes whole batches before the probe.
-        from bayesian_bm25_js_spark.functions.xxh64 import spark_xxhash64
+        if terms_filter is not None:
+            from bayesian_bm25_js_spark.functions.xxh64 import spark_xxhash64
 
-        if join_key == "term_id":
             ids = [spark_xxhash64(t) for t in terms_filter]
             postings = postings.filter(isin_filter("term_id", ids))
-        else:
-            postings = postings.filter(isin_filter("term", terms_filter))
+
     joined = postings.join(F.broadcast(qt), join_key).select(
         "query_id",
         "doc_id",

@@ -267,6 +267,10 @@ def ivf_build(
     emb = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("raw")
     ).select("vec_id", _normalize(F.col("raw")).alias("v"))
+    # normalized vectors are read n_iters+2 times (seeding + each Lloyd
+    # pass + final assignment): persist once instead of re-normalizing
+    # the corpus per pass
+    emb = emb.persist()
 
     seeds = (
         emb.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
@@ -297,7 +301,11 @@ def ivf_build(
                 new.append(old)
         centroids = new
 
-    assigned = emb.withColumn("cell", _nearest_cell(F.col("v"), centroids))
+    # persist + materialize the final assignment (this is the "index":
+    # every probe query reads it), then drop the interim vector cache
+    assigned = emb.withColumn("cell", _nearest_cell(F.col("v"), centroids)).persist()
+    assigned.count()
+    emb.unpersist()
     return assigned, centroids
 
 

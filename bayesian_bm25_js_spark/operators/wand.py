@@ -168,6 +168,145 @@ def wand_thresholds(
     return tau
 
 
+def route_queries(
+    index: InvertedIndex,
+    queries,
+    hot_df_frac: float = 0.10,
+    min_prunable_postings: int = 50_000_000,
+) -> tuple:
+    """Split a query batch by selectivity -> (hot_ids, rare_ids) query
+    indices; rare_ids go through WAND.
+
+    Two-term cost model, both terms measured (tools/profile at sf0.1):
+
+    1. Per query: HOT when the min df over its indexed terms is >=
+       hot_df_frac * n_docs — even its rarest term is ubiquitous, so
+       its top-k is irreducibly a full postings walk and WAND's
+       bounds/τ machinery is pure overhead (measured 3.8x slower on
+       the stop-word workload).
+    2. Per batch: WAND's three extra phases (bounds, τ, survivor join)
+       are a FIXED per-batch cost (~1s of stage overhead at local[32])
+       that only pays off when the avoidable scoring fan-out is large.
+       The avoidable volume is estimated as (1 - typical kept fraction
+       ~0.2) * Σ df over the would-be-WAND queries' tokens; below
+       min_prunable_postings everything routes to the salted
+       exhaustive scorer. At sf0.1 (10^7 postings) batches fall under
+       the floor — exhaustive wins outright, measured; at 10^2-10^5 x
+       that corpus size the same workload crosses it and pruning wins.
+
+    The df lookup is ONE bounded driver action: term_stats filtered to
+    the batch's distinct terms (an In-predicate over the vocab table —
+    scale-independent: the result is <= the batch's term count, never
+    the vocab)."""
+    from bayesian_bm25_js_spark.operators.scoring import isin_filter
+
+    terms = sorted({t for q in queries for t in q})
+    df_by_term = {
+        r["term"]: r["df"]
+        for r in index.term_stats.filter(isin_filter("term", terms))
+        .select("term", "df")
+        .collect()
+    }
+    thresh = float(hot_df_frac) * index.n_docs
+    hot_ids, rare_ids = [], []
+    for qid, q in enumerate(queries):
+        dfs = [df_by_term[t] for t in q if t in df_by_term]
+        (hot_ids if dfs and min(dfs) >= thresh else rare_ids).append(qid)
+    prunable = 0.8 * sum(
+        df_by_term.get(t, 0) for i in rare_ids for t in queries[i]
+    )
+    if prunable < min_prunable_postings:
+        return sorted(hot_ids + rare_ids), []
+    return hot_ids, rare_ids
+
+
+def auto_topk(
+    index: InvertedIndex,
+    queries,
+    k: int,
+    block_max: DataFrame = None,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    hot_df_frac: float = 0.10,
+    min_prunable_postings: int = 50_000_000,
+    exact_order: bool = False,
+) -> DataFrame:
+    """Selectivity router: per query, pick block-max-WAND or the salted
+    exhaustive scorer — both rank-identical under the 6-dp policy, so
+    routing is purely a cost decision (see route_queries for the
+    two-term cost model).
+
+    BENCH_r02 measured the crossover: on a stop-word workload (every
+    query's min-df term in 88% of docs) WAND was 3.8x SLOWER than the
+    salted exhaustive path — when even the rarest query term is
+    ubiquitous, the top-10 is irreducibly a full postings walk and the
+    bounds/τ/survivor phases are pure overhead. Conversely, selective
+    queries keep ~20% of blocks and skip 80% of the scoring fan-out.
+
+    queries: the batch as Python token lists (driver knowledge — the
+    same shape retrieve() takes). Routing costs one bounded df lookup
+    (route_queries); each branch then scans ONLY ITS OWN terms (the
+    In-filter that reaches the columnar scans is per-branch, so the two
+    branches split the postings scan instead of each paying the full
+    batch's). Both ranked outputs union into ONE plan — one job, both
+    branches' stages scheduled concurrently. query_id in the result
+    indexes into `queries`. A fully one-sided batch skips the other
+    branch entirely.
+    """
+    from bayesian_bm25_js_spark.operators.scoring import (
+        queries_to_df,
+        score_queries,
+    )
+
+    hot_ids, rare_ids = route_queries(
+        index, queries, hot_df_frac, min_prunable_postings
+    )
+
+    def _qdf(ids):
+        rows = []
+        for qid in ids:
+            seen: set = set()
+            for pos, term in enumerate(queries[qid]):
+                rows.append((qid, pos, term, term not in seen))
+                seen.add(term)
+        return index.spark.createDataFrame(
+            rows, "query_id long, pos int, term string, is_first boolean"
+        )
+
+    parts = []
+    if hot_ids:
+        hot_terms = sorted({t for i in hot_ids for t in queries[i]})
+        parts.append(
+            top_k(
+                score_queries(
+                    index,
+                    _qdf(hot_ids),
+                    exact_order=exact_order,
+                    terms_filter=hot_terms,
+                ),
+                k,
+            )
+        )
+    if rare_ids:
+        rare_terms = sorted({t for i in rare_ids for t in queries[i]})
+        parts.append(
+            wand_topk(
+                index,
+                _qdf(rare_ids),
+                k,
+                block_max=block_max,
+                block_size=block_size,
+                exact_order=exact_order,
+                terms_filter=rare_terms,
+            )
+        )
+    if not parts:
+        return top_k(score_queries(index, queries_to_df(index.spark, queries)), k)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def wand_topk(
     index: InvertedIndex,
     query_terms: DataFrame,

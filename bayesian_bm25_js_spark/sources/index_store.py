@@ -151,5 +151,6 @@ def load_packed_index(spark: SparkSession, path: str) -> tuple:
         k1=meta["k1"],
         b=meta["b"],
         method=meta["method"],
+        push_string_filter=True,
     )
     return index, meta.get("transform", {})

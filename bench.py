@@ -112,7 +112,7 @@ def run_bench(cpus: int) -> dict:
         top_k,
     )
     from bayesian_bm25_js_spark.operators.tokenize import tokenize_column
-    from bayesian_bm25_js_spark.operators.wand import wand_topk
+    from bayesian_bm25_js_spark.operators.wand import auto_topk, wand_topk
     from bayesian_bm25_js_spark.session import get_spark
     from bayesian_bm25_js_spark.sources.corpus import synthesize_code_corpus
 
@@ -199,6 +199,10 @@ def run_bench(cpus: int) -> dict:
         scores = score_queries(index, qdf, terms_filter=terms)
         return calibrate(top_k(scores, 10), index, 1.0, 0.5, 0.05).count()
 
+    def run_auto(wl):
+        ranked = auto_topk(index, wl, 10, block_max=bm, block_size=BLOCK_SIZE)
+        return calibrate(ranked, index, 1.0, 0.5, 0.05).count()
+
     t0 = time.time()
     n_results = run_wand()
     timings["query_cold"] = round(time.time() - t0, 3)
@@ -222,6 +226,20 @@ def run_bench(cpus: int) -> dict:
     timings["query_exhaustive"] = round(min(exh), 3)
     log(f"[bench] exhaustive: {timings['query_exhaustive']}s "
         f"(pruning speedup {timings['query_exhaustive']/query_s:.2f}x)")
+
+    # selectivity-routed flagship: per-query WAND vs salted-exhaustive
+    sc.setJobGroup("query_auto", "warm routed queries")
+    auto = []
+    for _ in range(3):
+        t0 = time.time()
+        run_auto(workload)
+        auto.append(time.time() - t0)
+    sc.setJobGroup("", "")
+    timings["query_auto"] = round(statistics.median(auto), 3)
+    qps_auto = round(N_QUERIES / timings["query_auto"], 2)
+    log(f"[bench] routed queries: median {timings['query_auto']}s = "
+        f"{qps_auto} q/s (wand {query_s:.2f}s, exhaustive "
+        f"{timings['query_exhaustive']}s)")
 
     # pruning power
     _, stats = wand_topk(index, qdf, 10, block_max=bm, block_size=BLOCK_SIZE,
@@ -257,11 +275,14 @@ def run_bench(cpus: int) -> dict:
         index, 1.0, 0.5, 0.05,
     ).count()
     timings["query_hot_term"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    run_auto(hot_wl)
+    timings["query_hot_auto"] = round(time.time() - t0, 3)
     log(f"[bench] hot-term workload (50 q, all containing '{top_term}', "
         f"df={index.term_stats.filter(F.col('term') == top_term).collect()[0]['df']}): "
         f"wand {timings['query_hot_term']}s, exhaustive salted "
         f"{timings['query_hot_salted']}s vs single-window "
-        f"{timings['query_hot_onephase']}s")
+        f"{timings['query_hot_onephase']}s, routed {timings['query_hot_auto']}s")
 
     # -- packed-index leg ------------------------------------------------------
     if os.environ.get("BENCH_SKIP_PACKED") != "1":
@@ -288,10 +309,16 @@ def run_bench(cpus: int) -> dict:
         packed_bytes = du(f"{idx_path}/packed")
         packed_ratio = round(packed_bytes / row_bytes, 4) if row_bytes else None
         pidx, _ = load_packed_index(spark, idx_path)
-        small_qdf = queries_to_df(spark, workload[:50])
+        small_wl = workload[:50]
+        small_qdf = queries_to_df(spark, small_wl)
+        small_terms = sorted({t for q in small_wl for t in q})
         t0 = time.time()
+        # terms_filter pushes the term In-predicate into the packed
+        # parquet scan, so non-matching blocks are skipped BEFORE any
+        # varint decode — the realistic packed query pattern
         calibrate(
-            top_k(score_queries(pidx, small_qdf), 10), pidx, 1.0, 0.5, 0.05
+            top_k(score_queries(pidx, small_qdf, terms_filter=small_terms), 10),
+            pidx, 1.0, 0.5, 0.05,
         ).count()
         timings["packed_query_50"] = round(time.time() - t0, 3)
         log(f"[bench] packed: write {timings['packed_write']}s, "
@@ -305,7 +332,15 @@ def run_bench(cpus: int) -> dict:
     if not os.environ.get("BENCH_SKIP_SUITE"):
         import __spark_entry__ as entry_mod
 
-        for name in ["bm25_calibrated_topk", "bm25_wand_topk", "dense_probabilities",
+        # quantizer construction is its own leg — ivf_topk then times
+        # only the probe+re-rank query (the cost a user pays per batch)
+        t0 = time.time()
+        entry_mod._ivf(spark, SF_DIR)
+        timings["ivf_build"] = round(time.time() - t0, 3)
+        log(f"[bench] ivf_build: {timings['ivf_build']}s")
+
+        for name in ["bm25_calibrated_topk", "bm25_wand_topk", "bm25_auto_topk",
+                     "dense_probabilities",
                      "cosine_topk", "ivf_topk", "streaming_index_topk",
                      "dedup_exact", "text_stats"]:
             fn = entry_mod.queries()[name]
@@ -331,11 +366,15 @@ def run_bench(cpus: int) -> dict:
         "cpus": cpus,
         "n_files": n,
         "files_per_sec": files_per_sec,
-        "qps_top10_calibrated": qps,
+        # flagship = the routed path (the engine's default retrieve
+        # strategy); pure-strategy numbers ride alongside
+        "qps_top10_calibrated": qps_auto,
+        "qps_wand": qps,
         "wand_blocks_kept_frac": blocks_kept_frac,
         "packed_size_ratio": packed_ratio,
         "cpu_s_build": round(cpu.get("build", 0.0), 1),
         "cpu_s_query_warm": round(cpu.get("query", 0.0) / 3, 1),
+        "cpu_s_query_auto": round(cpu.get("query_auto", 0.0) / 3, 1),
         **extras,
     }
 

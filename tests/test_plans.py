@@ -118,6 +118,28 @@ def test_wand_scoring_join_is_broadcast(spark, idx):
     assert "CartesianProduct" not in plan_string(ranked)
 
 
+def test_multi_field_retrieve_two_phase_topk(spark):
+    """Multi-field retrieve must not rank through a single-partition
+    window: phase 1 slices candidates by (query_id, hash(doc_id)%salt)
+    before the constant-query_id phase-2 window (VERDICT r02 #4)."""
+    from bayesian_bm25_js_spark.operators.multi_field import MultiFieldSparkScorer
+
+    docs = spark.createDataFrame(
+        [
+            (i, ["cat", f"t{i % 3}"], ["dog", f"b{i % 2}"])
+            for i in range(30)
+        ],
+        "doc_id long, title array<string>, body array<string>",
+    )
+    mf = MultiFieldSparkScorer(["title", "body"]).index(docs)
+    out = mf.retrieve(["cat", "dog"], k=5)
+    plan = plan_string(out)
+    # phase-1 salt expression must appear among the window partition keys
+    assert "pmod" in plan.lower(), plan
+    rows = out.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, 6))
+
+
 def test_packed_query_path_has_no_doc_stats_join(spark, idx, tmp_path):
     """dl rides inside the packed blob, so the packed query path joins
     only the vocab-sized term_stats — never the corpus-sized doc_stats
