@@ -378,6 +378,33 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the PRUNED path (n_probe=2 of 8 cells — the
+    production behavior, recall < 1 by construction). Oracle: golden
+    parquet from an independent pure-Python/NumPy k-means mirror with
+    the same deterministic seeding rule (tools/make_golden.py
+    ivf_probe_golden; xxhash64 parity pinned in tests/test_xxh64.py)."""
+    from bayesian_bm25_js_spark.operators.similarity import ivf_topk
+
+    qdf = _ivf_queries(spark, sf_dir)
+    assigned, centroids = _ivf(spark, sf_dir)
+    wide = ivf_topk(assigned, centroids, qdf, k=40, n_probe=2)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 6)), F.asc("vec_id")
+    )
+    return (
+        wide.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "query_id",
+            F.col("rk").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cos", 6).alias("cos_r"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over embeddings vs vec_id=0, JVM-side
     sequential dot products (zip_with + aggregate)."""
@@ -749,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_upper_bounds": q_wand_upper_bounds,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_probe_topk": q_ivf_probe_topk,
         "reliability_bins": q_reliability_bins,
         "brier": q_brier,
         "dedup_exact": q_dedup_exact,
@@ -1093,6 +1121,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, rank::INT AS rank, vec_id, round(cos, 6) AS cos_r
             FROM rk WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # Pruned IVF (n_probe=2 of 8): golden fixture from the
+        # independent NumPy k-means mirror (same seeding rule).
+        "ivf_probe_topk": """
+            SELECT query_id, rank, vec_id, cos_r
+            FROM read_parquet('/root/repo/tests/golden/ivf_probe_topk.parquet')
+            ORDER BY query_id, rank
         """,
         "reliability_bins": """
             WITH pl AS (

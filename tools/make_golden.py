@@ -152,6 +152,80 @@ def media_golden(n_rows=64, dim=16):
     return out
 
 
+def _seq_dot(a, b) -> float:
+    """Left-to-right float64 dot — mirrors the engine's zip_with +
+    aggregate accumulation order (similarity._dot), not NumPy's
+    pairwise summation."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def ivf_probe_golden(sf_dir: str, n_cells=8, n_iters=3, n_probe=2, k_wide=40, k=10):
+    """Independent pure-Python mirror of similarity.ivf_build +
+    ivf_topk at n_probe < n_cells — the PRUNED path (recall < 1 by
+    construction), which no SQL oracle can express because the probe
+    set depends on the k-means quantizer.
+
+    Replicates the engine's determinism rules exactly:
+    * seeds = n_cells vectors with smallest (xxhash64(vec_id), vec_id);
+    * assignment = argmax dot, ties to the LOWEST cell id;
+    * Lloyd update = per-cell mean then L2 normalize, empty cells keep
+      their centroid;
+    * probes = n_probe cells by descending (dot, cell id) — the
+      engine's reverse(array_sort(struct(dot, cell))) order;
+    * wide top-40 by raw (cos desc, vec_id asc), re-ranked on
+      round(cos, 6) per the engine float policy, top 10.
+    """
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    vec_ids = np.array(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    V = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    Vn = np.array(
+        [[x / (_seq_dot(v, v) ** 0.5) for x in v] for v in V], dtype=np.float64
+    )
+
+    h = xxh64_long_np(vec_ids.view(np.uint64), 42).view(np.int64)
+    order = np.lexsort((vec_ids, h))
+    centroids = [list(Vn[i]) for i in order[:n_cells]]
+
+    def assign():
+        cells = np.empty(len(Vn), dtype=np.int64)
+        for i, v in enumerate(Vn):
+            dots = [_seq_dot(v, c) for c in centroids]
+            cells[i] = int(np.argmax(dots))  # first max = lowest cell
+        return cells
+
+    for _ in range(n_iters):
+        cells = assign()
+        new = []
+        for ci, old in enumerate(centroids):
+            members = Vn[cells == ci]
+            if len(members) == 0:
+                new.append(old)
+                continue
+            vec = [float(np.mean(members[:, p])) for p in range(Vn.shape[1])]
+            norm = sum(x * x for x in vec) ** 0.5
+            new.append([x / norm for x in vec] if norm > 0 else old)
+        centroids = new
+    cells = assign()
+
+    out = []
+    for qid in sorted(vec_ids[vec_ids < 5]):
+        qv = Vn[np.nonzero(vec_ids == qid)[0][0]]
+        cd = [_seq_dot(qv, c) for c in centroids]
+        probes = sorted(range(n_cells), key=lambda i: (-cd[i], -i))[:n_probe]
+        cand = np.nonzero(np.isin(cells, probes))[0]
+        scored = [(int(vec_ids[i]), _seq_dot(Vn[i], qv)) for i in cand]
+        wide = sorted(scored, key=lambda t: (-t[1], t[0]))[:k_wide]
+        final = sorted(wide, key=lambda t: (-round_half_up(t[1]), t[0]))[:k]
+        for rank, (vid, cos) in enumerate(final, 1):
+            out.append((int(qid), rank, vid, round_half_up(cos)))
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     os.makedirs(GOLDEN_DIR, exist_ok=True)
@@ -196,6 +270,20 @@ def main() -> None:
         os.path.join(GOLDEN_DIR, "media_features.parquet"),
     )
     print(f"media_features: {len(md)} rows")
+
+    iv = ivf_probe_golden(sf_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array([r[0] for r in iv], pa.int64()),
+                "rank": pa.array([r[1] for r in iv], pa.int32()),
+                "vec_id": pa.array([r[2] for r in iv], pa.int64()),
+                "cos_r": pa.array([r[3] for r in iv], pa.float64()),
+            }
+        ),
+        os.path.join(GOLDEN_DIR, "ivf_probe_topk.parquet"),
+    )
+    print(f"ivf_probe_topk: {len(iv)} rows")
 
 
 if __name__ == "__main__":
