@@ -77,7 +77,11 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bayesian_bm25_js_spark.operators.scoring import queries_to_df, score_queries
 
     idx = _index(spark, sf_dir)
-    return score_queries(idx, queries_to_df(spark, QUERY_SET)), idx
+    terms = sorted({t for q in QUERY_SET for t in q})
+    return (
+        score_queries(idx, queries_to_df(spark, QUERY_SET), terms_filter=terms),
+        idx,
+    )
 
 
 def _ranked_topk(scores: DataFrame, k: int = TOPK) -> DataFrame:

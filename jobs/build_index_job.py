@@ -25,7 +25,15 @@ import sys
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--corpus", help="input parquet/iceberg path")
+    parser.add_argument("--corpus", help="input parquet path or (with --format table/iceberg) catalog table name")
+    parser.add_argument("--format", default="parquet",
+                        choices=["parquet", "table", "iceberg"],
+                        help="parquet: path scan; table/iceberg: "
+                             "spark.read.table(<name>) against the session "
+                             "catalog — on a cluster with the Iceberg runtime "
+                             "on the classpath this is the north-rule Iceberg "
+                             "source (snapshot-consistent scan, partition "
+                             "pruning via the catalog)")
     parser.add_argument("--synthesize", type=int, default=0,
                         help="generate N synthetic code files instead of --corpus")
     parser.add_argument("--out", required=True)
@@ -53,7 +61,10 @@ def main() -> int:
 
         corpus = synthesize_code_corpus(spark, args.synthesize)
     elif args.corpus:
-        corpus = spark.read.parquet(args.corpus)
+        if args.format in ("table", "iceberg"):
+            corpus = spark.read.table(args.corpus)
+        else:
+            corpus = spark.read.parquet(args.corpus)
         if "doc_id" not in corpus.columns:
             from bayesian_bm25_js_spark.operators.tokenize import corpus_to_docs
             # natural-key dense rank for deterministic ids
