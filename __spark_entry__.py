@@ -205,12 +205,13 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bm25_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Selectivity-routed top-k (operators/wand.auto_topk): per query,
-    WAND or salted-exhaustive by min-df — rank+score identical to the
-    exhaustive scorer either way, so the oracle is the SAME exhaustive
-    ranked CTE. hot_df_frac=0.05 and a zero batch-volume floor so the
-    sf0.01 QUERY_SET actually exercises BOTH branches (hot keywords
-    route exhaustive, tail queries route through WAND)."""
+    """Selectivity-routed top-k (operators/wand.auto_topk): binary
+    per-batch routing between WAND and salted-exhaustive by the
+    measured cost model — rank+score identical to the exhaustive
+    scorer either way, so the oracle is the SAME exhaustive ranked
+    CTE. A zero batch-volume floor pins the sf0.01 QUERY_SET into the
+    WAND regime (the default floor would route this tiny batch
+    exhaustive — the other regime, covered by bm25_topk's own gate)."""
     from bayesian_bm25_js_spark.operators.wand import auto_topk
 
     idx = _index(spark, sf_dir)

@@ -174,25 +174,28 @@ def route_queries(
     hot_df_frac: float = 0.10,
     min_prunable_postings: int = 50_000_000,
 ) -> tuple:
-    """Split a query batch by selectivity -> (hot_ids, rare_ids) query
-    indices; rare_ids go through WAND.
+    """Route a query batch -> (exhaustive_ids, wand_ids); one side is
+    always empty — routing is BINARY per batch, by a measured cost
+    model:
 
-    Two-term cost model, both terms measured (tools/profile at sf0.1):
-
-    1. Per query: HOT when the min df over its indexed terms is >=
-       hot_df_frac * n_docs — even its rarest term is ubiquitous, so
-       its top-k is irreducibly a full postings walk and WAND's
-       bounds/τ machinery is pure overhead (measured 3.8x slower on
-       the stop-word workload).
-    2. Per batch: WAND's three extra phases (bounds, τ, survivor join)
-       are a FIXED per-batch cost (~1s of stage overhead at local[32])
-       that only pays off when the avoidable scoring fan-out is large.
-       The avoidable volume is estimated as (1 - typical kept fraction
-       ~0.2) * Σ df over the would-be-WAND queries' tokens; below
-       min_prunable_postings everything routes to the salted
-       exhaustive scorer. At sf0.1 (10^7 postings) batches fall under
-       the floor — exhaustive wins outright, measured; at 10^2-10^5 x
-       that corpus size the same workload crosses it and pruning wins.
+    * WAND's three extra phases (bounds, τ, survivor join) are a FIXED
+      per-batch cost (~1s of stage overhead at local[32]) that only
+      pays off when the avoidable scoring fan-out is large. The
+      avoidable volume is estimated as (1 - typical kept fraction
+      ~0.2) * Σ df over the tokens of queries that have at least one
+      selective term (min df < hot_df_frac * n_docs — queries whose
+      every term is ubiquitous have kept≈1, nothing to avoid). Below
+      min_prunable_postings the whole batch takes the salted
+      exhaustive scorer; above it, the whole batch takes WAND.
+    * Measured regimes: at 100k files / 200 queries exhaustive wins
+      outright (2.1s vs wand 3.0s — under the floor); at 300k files /
+      1000 queries WAND wins 4x (13.5s vs 54.7s — over the floor).
+    * Why not split the batch and send stop-word queries to their own
+      exhaustive pipeline? Measured at the 300k shape: split 18.1s /
+      374s CPU vs all-WAND 13.5s / 274s CPU — two pipelines duplicate
+      the scans of shared terms that one batch amortizes, and a folded
+      stop-word query costs WAND only its (unprunable) fan-out plus
+      bounded per-block bounds work.
 
     The df lookup is ONE bounded driver action: term_stats filtered to
     the batch's distinct terms (an In-predicate over the vocab table —
@@ -208,16 +211,18 @@ def route_queries(
         .collect()
     }
     thresh = float(hot_df_frac) * index.n_docs
-    hot_ids, rare_ids = [], []
-    for qid, q in enumerate(queries):
-        dfs = [df_by_term[t] for t in q if t in df_by_term]
-        (hot_ids if dfs and min(dfs) >= thresh else rare_ids).append(qid)
+    all_ids = list(range(len(queries)))
+    prunable_ids = [
+        qid
+        for qid, q in enumerate(queries)
+        if any(df_by_term[t] < thresh for t in q if t in df_by_term)
+    ]
     prunable = 0.8 * sum(
-        df_by_term.get(t, 0) for i in rare_ids for t in queries[i]
+        df_by_term.get(t, 0) for i in prunable_ids for t in queries[i]
     )
     if prunable < min_prunable_postings:
-        return sorted(hot_ids + rare_ids), []
-    return hot_ids, rare_ids
+        return all_ids, []
+    return [], all_ids
 
 
 def auto_topk(

@@ -3,15 +3,18 @@
 Phases (timed separately, reported in "queries"):
   corpus_synth     deterministic code corpus (north-rule shape)
   index_build      inverted index + block-max metadata, forced via counts
-  query_warm       batched top-10 calibrated BM25 through the
-                   block-max-WAND pruned path (the flagship), warm median
-  query_exhaustive the unpruned scorer on the same workload (the
-                   pruning speedup denominator)
+  query_auto       batched top-10 calibrated BM25 through the DEFAULT
+                   retrieve path (selectivity router, the flagship),
+                   warm median
+  query_warm       the pure block-max-WAND path on the same workload
+  query_exhaustive the unpruned scorer (the pruning speedup denominator)
   query_hot_term   every query contains the corpus's top-df term — the
                    skew workload the salted two-phase top-k exists for
   packed_*         posting compression: pack+write, packed-vs-row size,
                    query through the delta+varint layout
   plus the oracle-suite headliners at $SPARK_GRAFT_SF_DIR.
+  BENCH_LEAN=1 (scaling trials) keeps build + auto + wand legs only;
+  BENCH_PIPE=1 adds the multi-batch overlap A/B (negative result).
 
 Also reported: wand_blocks_kept/total (pruning power) and per-phase
 executor-CPU totals (from the event log) — the scaling evidence needs
@@ -477,6 +480,10 @@ def run_scaling() -> None:
     n_queries = os.environ.get("BENCH_QUERIES", "1000")
     levels = [int(x) for x in os.environ.get("SCALING_LEVELS", "2,8,32").split(",")]
     results: dict[int, list[dict]] = {c: [] for c in levels}
+    # probes up front so every incremental report has them
+    log("[scaling] probing hardware ceilings (cpu + DRAM)...")
+    hw_cpu = {c: _probe(_burn_cpu, c) for c in levels}
+    hw_mem = {c: _probe(_burn_mem, c) for c in levels}
     for t in range(trials):
         for cpus in levels if t % 2 == 0 else reversed(levels):
             env = dict(
@@ -503,7 +510,15 @@ def run_scaling() -> None:
                 f"{r['files_per_sec']} f/s, {r['qps_top10_calibrated']} q/s, "
                 f"cpu build {r['cpu_s_build']}s / query {r['cpu_s_query_auto']}s"
             )
+        # crash-safe: regenerate the report after every completed trial
+        if all(results[c] for c in levels):
+            _write_scaling_report(results, levels, hw_cpu, hw_mem, t + 1,
+                                  n_files, n_queries)
+    log("[scaling] -> BENCH/BASELINE.md")
 
+
+def _write_scaling_report(results, levels, hw_cpu, hw_mem, trials,
+                          n_files, n_queries) -> None:
     med = lambda rs, key: statistics.median(r[key] for r in rs)
     mx = lambda rs, key: max(r[key] for r in rs)
     f = {c: med(results[c], "files_per_sec") for c in levels}
@@ -512,10 +527,6 @@ def run_scaling() -> None:
     qm = {c: mx(results[c], "qps_top10_calibrated") for c in levels}
     cpu_q = {c: med(results[c], "cpu_s_query_auto") for c in levels}
     cpu_b = {c: med(results[c], "cpu_s_build") for c in levels}
-
-    log("[scaling] probing hardware ceilings (cpu + DRAM)...")
-    hw_cpu = {c: _probe(_burn_cpu, c) for c in levels}
-    hw_mem = {c: _probe(_burn_mem, c) for c in levels}
 
     def eff(d, lo, hi):
         return (d[hi] / d[lo]) / (hi / lo)
@@ -575,12 +586,25 @@ def run_scaling() -> None:
             f"Corpus: {n_files} synthetic code files (sources/corpus.py, "
             f"north-rule shape: Zipf-head keywords + 50k-identifier long "
             f"tail), {n_queries}-query mixed hot/rare top-10 calibrated "
-            "WAND workload, warm-median timing, shuffle on tmpfs "
-            "(spark.local.dir=/dev/shm; this VM's block device serializes "
-            "shuffle I/O).\n\n"
+            "workload through the DEFAULT retrieve path (selectivity "
+            "router, operators/wand.auto_topk — at this shape it routes "
+            "the batch through block-max WAND, measured 4x faster than "
+            "exhaustive here: 13.6s vs 54.7s), warm-median timing, "
+            "shuffle on tmpfs (spark.local.dir=/dev/shm; this VM's block "
+            "device serializes shuffle I/O).\n\n"
             "Index-build CPU totals: "
             + ", ".join(f"{cpu_b[c]:.0f}s at local[{c}]" for c in levels)
-            + "\n\nRaw trials:\n\n```\n"
+            + "\n\n**Batch-overlap A/B (negative result, kept off).** "
+            "Splitting the 1000-query batch into 4 thread-pooled "
+            "concurrent jobs (depth 2) to hide per-batch driver-serial "
+            "time measured 28.6 q/s vs 62.8 q/s single-batch at "
+            "local[32], with executor CPU inflated ~3x: concurrent "
+            "sub-batches each rescan the block_max/postings caches that "
+            "one batch amortizes across all its queries, and the "
+            "router already overlaps its two branches inside one job. "
+            "The throughput knob at high core counts is batch WIDTH "
+            "(scan amortization), not job concurrency; re-run with "
+            "BENCH_PIPE=1.\n\nRaw trials:\n\n```\n"
             + "\n".join(
                 f"local[{c}] trial {i}: {r['files_per_sec']} f/s, "
                 f"{r['qps_top10_calibrated']} q/s, cpu(q) {r['cpu_s_query_auto']}s"
@@ -591,11 +615,10 @@ def run_scaling() -> None:
         )
     for lo, hi in pairs:
         log(
-            f"[scaling] {lo}->{hi}: build eff={eff(f, lo, hi):.3f} "
+            f"[scaling] ({trials} trials) {lo}->{hi}: build eff={eff(f, lo, hi):.3f} "
             f"query eff={eff(q, lo, hi):.3f} "
             f"cpu ceiling={eff(hw_cpu, lo, hi):.3f} mem ceiling={eff(hw_mem, lo, hi):.3f}"
         )
-    log("[scaling] -> BENCH/BASELINE.md")
 
 
 if __name__ == "__main__":

@@ -161,48 +161,43 @@ def test_wand_equals_exhaustive(spark, rnd_index, k):
 
 def test_auto_topk_routes_and_matches_exhaustive(spark, rnd_index):
     """The selectivity router must (a) be rank-identical to the
-    exhaustive scorer regardless of routing, (b) actually split the
-    workload: hot-min-df queries to the exhaustive branch, selective
-    ones through WAND."""
-    from bayesian_bm25_js_spark.operators.wand import auto_topk
+    exhaustive scorer in BOTH routing regimes, (b) flip regimes on the
+    batch-volume floor (binary routing — one pipeline per batch)."""
+    from bayesian_bm25_js_spark.operators.wand import auto_topk, route_queries
 
     corpus, idx = rnd_index
     queries = [
-        ["w0", "w1"],        # both Zipf-head terms -> hot branch
-        ["w40", "w49"],      # rare tail -> wand branch
-        ["w0", "w45"],       # mixed: min-df is rare -> wand branch
-        ["w2", "w2", "w3"],  # duplicate hot tokens -> hot branch
+        ["w0", "w1"],        # both Zipf-head terms (unprunable)
+        ["w40", "w49"],      # rare tail (highly prunable)
+        ["w0", "w45"],       # mixed: min-df is rare
+        ["w2", "w2", "w3"],  # duplicate hot tokens
         ["nope"],            # unknown term -> no candidates at all
     ]
     qdf = queries_to_df(spark, queries)
     plain = top_k(score_queries(idx, qdf), 5)
-    routed = auto_topk(
-        idx, queries, 5, block_size=64, hot_df_frac=0.25,
-        min_prunable_postings=0,
-    )
     a = [
         (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 12))
         for r in plain.orderBy("query_id", "rank").collect()
     ]
-    b = [
-        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 12))
-        for r in routed.orderBy("query_id", "rank").collect()
-    ]
-    assert a == b
-    # routing actually splits the batch across both branches
-    from bayesian_bm25_js_spark.operators.wand import route_queries
-
-    hot_ids, rare_ids = route_queries(
+    for floor in (0, 50_000_000):  # wand regime / exhaustive regime
+        routed = auto_topk(
+            idx, queries, 5, block_size=64, hot_df_frac=0.25,
+            min_prunable_postings=floor,
+        )
+        b = [
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 12))
+            for r in routed.orderBy("query_id", "rank").collect()
+        ]
+        assert a == b, floor
+    # binary routing: floor=0 -> whole batch through WAND; default
+    # floor -> this tiny batch's avoidable fan-out can't pay WAND's
+    # fixed phase cost -> whole batch exhaustive
+    exh, wand_side = route_queries(
         idx, queries, hot_df_frac=0.25, min_prunable_postings=0
     )
-    assert 0 in hot_ids and 3 in hot_ids  # Zipf-head-only queries
-    assert {1, 2} <= set(rare_ids)  # min-df term is rare
-    assert 4 in rare_ids  # unknown-term query defaults to the wand side
-    assert sorted(hot_ids + rare_ids) == [0, 1, 2, 3, 4]
-    # batch-volume floor: a tiny batch's avoidable fan-out can't pay
-    # WAND's fixed phase cost -> everything routes exhaustive
-    all_ids, none = route_queries(idx, queries, hot_df_frac=0.25)
-    assert none == [] and all_ids == [0, 1, 2, 3, 4]
+    assert exh == [] and wand_side == [0, 1, 2, 3, 4]
+    exh, wand_side = route_queries(idx, queries, hot_df_frac=0.25)
+    assert wand_side == [] and exh == [0, 1, 2, 3, 4]
 
 
 def test_wand_actually_prunes(spark):

@@ -173,3 +173,33 @@ def test_scorer_distributed_estimation_path(spark, small_idx):
     assert s_dist.transform.beta == pytest.approx(s_driver.transform.beta, rel=1e-12)
     assert s_dist.transform.alpha == pytest.approx(s_driver.transform.alpha, rel=1e-9)
     assert s_dist.base_rate == pytest.approx(s_driver.base_rate, rel=1e-6)
+
+
+def test_isin_filter_guards(spark, small_idx):
+    """Empty values -> constant-false filter (no `IN ()` parse error);
+    unsupported value types fail loudly at build time."""
+    import pytest as _pytest
+
+    from bayesian_bm25_js_spark.operators.scoring import isin_filter
+
+    assert small_idx.postings.filter(isin_filter("term", [])).count() == 0
+    with _pytest.raises(TypeError):
+        isin_filter("term", [1.5])
+    with _pytest.raises(TypeError):
+        isin_filter("term", [True])
+    # escaping: quotes in values must not break the expression
+    assert small_idx.postings.filter(isin_filter("term", ["o'brien"])).count() == 0
+
+
+def test_score_queries_empty_terms_filter(spark, small_idx):
+    """terms_filter=[] means 'no terms survive' -> zero rows, not a
+    SQL parse failure (ADVICE r02)."""
+    from bayesian_bm25_js_spark.operators.scoring import (
+        queries_to_df,
+        score_queries,
+    )
+
+    out = score_queries(
+        small_idx, queries_to_df(spark, [["cat"]]), terms_filter=[]
+    )
+    assert out.count() == 0
