@@ -266,9 +266,11 @@ class BayesianBM25SparkScorer:
                     block_max=self._block_max_cached(), terms_filter=terms,
                 )
             else:
+                # provider keeps block-max construction lazy: batches
+                # the router sends to the exhaustive path never build it
                 scored = auto_topk(
                     self._index, [list(q) for q in queries], k,
-                    block_max=self._block_max_cached(),
+                    block_max_provider=self._block_max_cached,
                 )
         out = calibrate(
             scored,

@@ -234,6 +234,7 @@ def auto_topk(
     hot_df_frac: float = 0.10,
     min_prunable_postings: int = 50_000_000,
     exact_order: bool = False,
+    block_max_provider=None,
 ) -> DataFrame:
     """Selectivity router: per query, pick block-max-WAND or the salted
     exhaustive scorer — both rank-identical under the 6-dp policy, so
@@ -293,6 +294,10 @@ def auto_topk(
         )
     if rare_ids:
         rare_terms = sorted({t for i in rare_ids for t in queries[i]})
+        if block_max is None and block_max_provider is not None:
+            # lazy: the (possibly persisted) metadata table is only
+            # built when the batch actually routes through WAND
+            block_max = block_max_provider()
         parts.append(
             wand_topk(
                 index,
