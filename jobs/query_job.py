@@ -54,8 +54,17 @@ def main() -> int:
         load_packed_index,
     )
 
+    import os
+
     loader = load_packed_index if args.packed else load_index
-    index, params = loader(spark, args.index)
+    # accept either a direct index layout or a build_index_job --out
+    # root (which nests the queryable layout under <out>/index)
+    idx_path = args.index
+    if not os.path.exists(f"{idx_path}/meta.json") and os.path.exists(
+        f"{idx_path}/index/meta.json"
+    ):
+        idx_path = f"{idx_path}/index"
+    index, params = loader(spark, idx_path)
 
     with open(args.queries) as f:
         queries = [line.split() for line in f if line.strip()]
