@@ -399,6 +399,13 @@ def run_bench(cpus: int) -> dict:
                      "cosine_topk", "ivf_topk", "streaming_index_topk",
                      "dedup_exact", "text_stats"]:
             fn = entry_mod.queries()[name]
+            if name == "streaming_index_topk":
+                # first call pays the 3-epoch ingest (cached after);
+                # report ingest and query as separate legs like ivf
+                t0 = time.time()
+                fn(spark, SF_DIR).count()
+                timings["streaming_ingest"] = round(time.time() - t0, 3)
+                log(f"[bench] streaming_ingest: {timings['streaming_ingest']}s")
             t0 = time.time()
             fn(spark, SF_DIR).count()
             timings[name] = round(time.time() - t0, 3)
