@@ -73,6 +73,22 @@ def _index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
+_BM_CACHE: dict = {}
+
+
+def _block_max(spark: SparkSession, sf_dir: str):
+    """Build-once block-max metadata per (session, sf_dir) — index
+    metadata, shared by the WAND and routed query entries."""
+    from bayesian_bm25_js_spark.operators.compression import block_max_table
+
+    key = (id(spark), sf_dir)
+    if key not in _BM_CACHE:
+        _BM_CACHE[key] = block_max_table(
+            _index(spark, sf_dir), BLOCK_SIZE
+        ).persist()
+    return _BM_CACHE[key]
+
+
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bayesian_bm25_js_spark.operators.scoring import queries_to_df, score_queries
 
@@ -197,6 +213,7 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = sorted({t for q in QUERY_SET for t in q})
     ranked = wand_topk(
         idx, queries_to_df(spark, QUERY_SET), TOPK,
+        block_max=_block_max(spark, sf_dir),
         block_size=BLOCK_SIZE, terms_filter=terms,
     )
     return ranked.select(
@@ -216,7 +233,8 @@ def q_bm25_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _index(spark, sf_dir)
     ranked = auto_topk(
-        idx, QUERY_SET, TOPK, block_size=BLOCK_SIZE, hot_df_frac=0.05,
+        idx, QUERY_SET, TOPK, block_max=_block_max(spark, sf_dir),
+        block_size=BLOCK_SIZE, hot_df_frac=0.05,
         min_prunable_postings=0,
     )
     return ranked.select(
