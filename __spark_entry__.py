@@ -679,6 +679,53 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_multi_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field fused retrieval (multi_field.ts:27-208) end-to-end:
+    two fields derived from documents.text (title = first 5 tokens,
+    body = rest), per-field sparse Bayesian probabilities with FIXED
+    calibration (alpha/beta/base_rate literals — estimation itself is
+    covered by pytest), uniform weights, weighted log-odds conjunction
+    (fusion.ts:153-281: sigma(n^0.5 * sum(w_i * logit(clamp(p_i))))),
+    rounded-rank top-20. Oracle: the same two BM25 pipelines + fusion
+    formula in SQL."""
+    from bayesian_bm25_js_spark.operators.multi_field import MultiFieldSparkScorer
+    from bayesian_bm25_js_spark.operators.tokenize import tokenize_column
+
+    toks = tokenize_column(F.col("text"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.slice(toks, 1, 5).alias("title"),
+        F.slice(
+            toks, 6, F.greatest(F.size(toks) - F.lit(5), F.lit(0))
+        ).alias("body"),
+    )
+    mf = MultiFieldSparkScorer(
+        ["title", "body"],
+        base_rate=BASE_RATE,
+        k1=K1,
+        b=B,
+        method="lucene",
+        transform_alpha=ALPHA,
+        transform_beta=BETA,
+    ).index(docs)
+    probs = mf.get_probabilities(["spark", "table"], dense=False)
+    w = Window.orderBy(
+        F.desc(F.round(F.col("probability"), 6)), F.asc("doc_id")
+    )
+    return (
+        probs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.round("prob_title", 6).alias("p_title_r"),
+            F.round("prob_body", 6).alias("p_body_r"),
+            F.round("probability", 6).alias("fused_r"),
+        )
+        .orderBy("rank")
+    )
+
+
 def q_temporal_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TemporalBayesianTransform sample weights (probability.ts:676-692)
     over the events table: w = exp(-ln2/halfLife * (maxTs - ts)),
@@ -811,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "media_features": q_media_features,
+        "multi_field_topk": q_multi_field_topk,
         "temporal_weights": q_temporal_weights,
         "fusion_by_user": q_fusion_by_user,
         "hybrid_fusion": q_hybrid_fusion,
@@ -918,6 +966,46 @@ def _lang_sql_case() -> str:
 _TOK_LIST = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 )
+
+
+def _mf_field_ctes(alias: str) -> str:
+    """One field's BM25 pipeline CTEs ({alias} must be a CTE of
+    (doc_id, toks)): doc/term stats, contributions for the mf_q query
+    terms, sparse per-doc posterior with the fixed literals."""
+    avgdl = f"(SELECT avgdl FROM {alias}_consts)"
+    post = _posterior_sql("score", "tf_overlap", f"dl / {avgdl}")
+    return f"""
+{alias}_toks AS (SELECT doc_id, unnest(toks) AS term FROM {alias}),
+{alias}_ds AS (SELECT doc_id, count(*)::INT AS dl FROM {alias}_toks GROUP BY doc_id),
+{alias}_consts AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT coalesce(sum(dl), 0) FROM {alias}_ds)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+{alias}_tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM {alias}_toks GROUP BY doc_id, term),
+{alias}_ts AS (
+  SELECT term, count(*) AS df,
+         ln(1.0 + ((SELECT n_docs FROM {alias}_consts) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM {alias}_tf GROUP BY term
+),
+{alias}_contrib AS (
+  SELECT tf.doc_id, tf.term, ds.dl,
+         ts.idf * (tf.tf * ({K1} + 1.0))
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * ds.dl / {avgdl})) AS contrib
+  FROM mf_q q
+  JOIN {alias}_tf tf USING (term)
+  JOIN {alias}_ts ts USING (term)
+  JOIN {alias}_ds ds ON tf.doc_id = ds.doc_id
+),
+{alias}_scored AS (
+  SELECT doc_id, sum(contrib) AS score,
+         count(DISTINCT term) AS tf_overlap, any_value(dl) AS dl
+  FROM {alias}_contrib GROUP BY doc_id
+),
+{alias}_prob AS (
+  SELECT doc_id, CASE WHEN score > 0 THEN {post} ELSE 0.0 END AS p
+  FROM {alias}_scored
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1252,6 +1340,40 @@ def oracle_sql() -> dict[str, str]:
                          / len(list_distinct(a.s || b.s)), 6) AS jaccard_r
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
             ORDER BY a
+        """,
+        "multi_field_topk": f"""
+            WITH t AS (SELECT doc_id, {_TOK_LIST} AS toks FROM documents),
+            mf_title AS (SELECT doc_id, toks[1:5] AS toks FROM t),
+            mf_body AS (SELECT doc_id, toks[6:] AS toks FROM t),
+            mf_q(term) AS (VALUES ('spark'), ('table')),
+            {_mf_field_ctes('mf_title')},
+            {_mf_field_ctes('mf_body')},
+            mf_cand AS (
+              SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                     coalesce(a.p, 0.0) AS p1, coalesce(b.p, 0.0) AS p2
+              FROM mf_title_prob a FULL OUTER JOIN mf_body_prob b
+                ON a.doc_id = b.doc_id
+            ),
+            mf_fused AS (
+              SELECT doc_id, p1, p2,
+                     {_SIGMOID.format(x=(
+                         "sqrt(2.0) * ("
+                         "0.5 * ln(greatest(1e-10, least(1.0 - 1e-10, p1)) / (1.0 - greatest(1e-10, least(1.0 - 1e-10, p1))))"
+                         " + 0.5 * ln(greatest(1e-10, least(1.0 - 1e-10, p2)) / (1.0 - greatest(1e-10, least(1.0 - 1e-10, p2))))"
+                         ")"
+                     ))} AS fp
+              FROM mf_cand
+            ),
+            mf_ranked AS (
+              SELECT row_number() OVER (ORDER BY round(fp, 6) DESC, doc_id ASC) AS rank,
+                     doc_id, p1, p2, fp
+              FROM mf_fused
+            )
+            SELECT rank::INT AS rank, doc_id,
+                   round(p1, 6) AS p_title_r,
+                   round(p2, 6) AS p_body_r,
+                   round(fp, 6) AS fused_r
+            FROM mf_ranked WHERE rank <= 20 ORDER BY rank
         """,
         "temporal_weights": """
             WITH ev AS (

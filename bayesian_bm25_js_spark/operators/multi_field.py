@@ -52,6 +52,8 @@ class MultiFieldSparkScorer:
         k1: float = 1.2,
         b: float = 0.75,
         method: str = "robertson",
+        transform_alpha: Optional[float] = None,
+        transform_beta: Optional[float] = None,
     ) -> None:
         fields = list(fields)
         if not fields:
@@ -62,6 +64,15 @@ class MultiFieldSparkScorer:
         self._alpha = alpha
         self._base_rate = base_rate
         self._k1, self._b, self._method = k1, b, method
+        # Optional FIXED calibration parameters forwarded to every
+        # per-field scorer (same contract as the single-field scorer's
+        # alpha/beta args). Default None keeps the reference behavior:
+        # each field auto-estimates from its own pseudo-query sample
+        # (multi_field.ts constructs plain BayesianBM25Scorer configs).
+        # Fixed values make the whole fused pipeline SQL-expressible
+        # (driver oracle multi_field_topk).
+        self._transform_alpha = transform_alpha
+        self._transform_beta = transform_beta
 
         if field_weights is None:
             self._field_weights = {f: 1.0 / len(fields) for f in fields}
@@ -109,6 +120,8 @@ class MultiFieldSparkScorer:
                 k1=self._k1,
                 b=self._b,
                 method=self._method,
+                alpha=self._transform_alpha,
+                beta=self._transform_beta,
                 base_rate=self._base_rate,
             )
             scorer.index(docs.select("doc_id", F.col(field).alias("tokens")))
