@@ -236,3 +236,23 @@ def test_explain_trace_matches_probabilities(spark_scorer):
         else:
             assert r["posterior"] is None
             assert r["likelihood"] is None
+
+
+def test_block_max_is_lazy_in_routed_retrieve(spark):
+    """retrieve(strategy='auto') must not build block-max metadata when
+    the router sends the batch to the exhaustive path (small batches);
+    a wand retrieve builds and caches it."""
+    from bayesian_bm25_js_spark.operators.scorer import BayesianBM25SparkScorer
+
+    docs = spark.createDataFrame(
+        [(i, ["common", f"t{i % 5}"]) for i in range(50)],
+        "doc_id long, tokens array<string>",
+    )
+    s = BayesianBM25SparkScorer(alpha=1.0, beta=0.5, base_rate=0.05).index(docs)
+    s.retrieve([["common", "t1"]], k=3).collect()
+    assert s._block_max is None
+    s.retrieve([["common", "t1"]], k=3, strategy="wand").collect()
+    assert s._block_max is not None
+    # re-index drops the cached metadata
+    s.index(docs)
+    assert s._block_max is None
