@@ -640,7 +640,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = minhash_signatures(docs, shingle_k=3)
     return (
-        minhash_lsh_pairs(sigs, threshold=0.5)
+        minhash_lsh_pairs(sigs, threshold=0.5, n_hashes=64)
         .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard_r"))
         .orderBy("a", "b")
     )

@@ -130,7 +130,18 @@ def _real_decode_features(payload: bytes, modality: str, dim: int = FEATURE_DIM)
         )
     import io
 
-    from PIL import Image
+    try:
+        from PIL import Image
+    except ImportError as e:
+        # Executor-side twin of the driver's plan-time HAS_PIL gate:
+        # on a cluster whose executors lack pillow the plan-time check
+        # (driver env) passes, so fail here with the same clear message
+        # instead of a raw ImportError inside the task.
+        raise NotImplementedError(
+            "decode='real' requires PIL (pillow) on the EXECUTORS; the "
+            "driver has it but this executor does not — install pillow "
+            "cluster-wide or use decode='fake'"
+        ) from e
 
     img = Image.open(io.BytesIO(payload)).convert("L")
     hist = np.asarray(img.histogram(), dtype=np.float64)  # 256 bins
@@ -208,7 +219,14 @@ def resize_images(
     def _real_resize(payload: bytes) -> bytes:
         import io
 
-        from PIL import Image
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise NotImplementedError(
+                "decode='real' requires PIL (pillow) on the EXECUTORS; "
+                "the driver has it but this executor does not — install "
+                "pillow cluster-wide or use decode='fake'"
+            ) from e
 
         img = Image.open(io.BytesIO(payload))
         out = io.BytesIO()

@@ -144,8 +144,11 @@ def score_queries(
     join_key = "term"
     if (
         terms_filter is not None
-        and getattr(index, "push_string_filter", False)
         and "term" in postings.columns
+        and (
+            getattr(index, "push_string_filter", False)
+            or "term_id" not in postings.columns
+        )
     ):
         # Layouts whose term_id only exists POST-scan (the packed
         # delta+varint store computes it after decode) opt in to a
@@ -153,7 +156,10 @@ def score_queries(
         # row-group stats, so non-matching blocks are skipped before
         # any varint decode runs. The interned row cache skips this —
         # its term_id filter below already batch-prunes, and an extra
-        # per-row string compare would cost the hot path.
+        # per-row string compare would cost the hot path. Custom
+        # layouts with NO term_id at all fall back to the string
+        # filter unconditionally so terms_filter is never a silent
+        # no-op (the only pruning such a layout can get).
         postings = postings.filter(isin_filter("term", terms_filter))
     if "term_id" in postings.columns:
         # Interned hot path: probe/filter on 8-byte keys; the columnar

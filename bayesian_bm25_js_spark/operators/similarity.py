@@ -246,8 +246,15 @@ def ivf_build(
     n_iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    persist: bool = True,
 ) -> tuple:
     """Spherical k-means coarse quantizer -> (assigned, centroids).
+
+    persist=True caches + materializes the final assignment (it is the
+    index every probe reads). The caller owns the cache: release it
+    with `assigned.unpersist()` when done — repeated builds in one
+    session (test loops) otherwise accumulate cached partitions. Pass
+    persist=False to get a plain lazy DataFrame.
 
     assigned: (vec_id, cell, v) with v L2-normalized — at scale this is
     the table you persist partitioned/bucketed BY cell, so a probe scan
@@ -303,8 +310,10 @@ def ivf_build(
 
     # persist + materialize the final assignment (this is the "index":
     # every probe query reads it), then drop the interim vector cache
-    assigned = emb.withColumn("cell", _nearest_cell(F.col("v"), centroids)).persist()
-    assigned.count()
+    assigned = emb.withColumn("cell", _nearest_cell(F.col("v"), centroids))
+    if persist:
+        assigned = assigned.persist()
+        assigned.count()
     emb.unpersist()
     return assigned, centroids
 

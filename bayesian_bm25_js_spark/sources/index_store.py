@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 
 from bayesian_bm25_js_spark.operators.index_build import InvertedIndex
 
+# Version of the PACKED blob layout (meta.json "packed_format"). 2 added
+# the third varint stream (`dls`) inside each block blob; indexes packed
+# by format-1 builds have no such stream and must be re-packed.
+PACKED_FORMAT_VERSION = 2
+
 
 def _partition_lineage(df, key: str) -> list:
     """Per-output-partition row counts — the lineage/metrics sidecar."""
@@ -80,6 +85,7 @@ def save_index(
         "n_buckets": n_buckets,
         "block_size": block_size,
         "packed": packed,
+        "packed_format": PACKED_FORMAT_VERSION if packed else None,
         "transform": transform_params or {},
         "build_seconds": round(time.time() - t0, 3),
         "lineage": lineage,
@@ -126,6 +132,14 @@ def load_packed_index(spark: SparkSession, path: str) -> tuple:
         meta = json.load(f)
     if not meta.get("packed"):
         raise ValueError(f"index at {path} was saved without packed=True")
+    fmt = meta.get("packed_format") or 1
+    if fmt != PACKED_FORMAT_VERSION:
+        raise ValueError(
+            f"index at {path} was packed by an older build "
+            f"(packed_format={fmt}, this build reads "
+            f"{PACKED_FORMAT_VERSION}); re-run save_index(packed=True) "
+            "with the current code to regenerate the packed layout"
+        )
     packed = spark.read.parquet(f"{path}/packed")
     term_stats = spark.read.parquet(f"{path}/term_stats")
     doc_stats = spark.read.parquet(f"{path}/doc_stats")

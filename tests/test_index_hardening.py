@@ -261,6 +261,59 @@ def test_packed_index_query_parity(spark, rnd_index, tmp_path):
     ]
 
 
+def test_packed_format_version_check(spark, rnd_index, tmp_path):
+    """An index packed by an older layout (no packed_format / stale
+    version in meta.json) fails loudly with a re-pack message instead
+    of an unresolved-column error deep in the decode plan."""
+    import json
+
+    import pytest
+
+    from bayesian_bm25_js_spark.sources.index_store import (
+        load_packed_index,
+        save_index,
+    )
+
+    corpus, idx = rnd_index
+    path = str(tmp_path / "pidx_v1")
+    save_index(idx, path, packed=True, block_size=64)
+    meta = json.load(open(f"{path}/meta.json"))
+    assert meta["packed_format"] == 2
+    meta.pop("packed_format")  # simulate a pre-versioning pack
+    json.dump(meta, open(f"{path}/meta.json", "w"))
+    with pytest.raises(ValueError, match="older build"):
+        load_packed_index(spark, path)
+
+
+def test_terms_filter_falls_back_to_string_isin(spark, rnd_index):
+    """A custom postings layout with NO term_id column still gets the
+    string In-filter from terms_filter (it is the only scan pruning
+    such a layout can have) — regression for the silent-drop case."""
+    from bayesian_bm25_js_spark.operators.index_build import InvertedIndex
+
+    corpus, idx = rnd_index
+    plain = InvertedIndex(
+        spark=spark,
+        postings=idx.postings.drop("term_id"),
+        term_stats=idx.term_stats,
+        doc_stats=idx.doc_stats,
+        n_docs=idx.n_docs,
+        avgdl=idx.avgdl,
+        k1=idx.k1,
+        b=idx.b,
+        method=idx.method,
+    )
+    qdf = queries_to_df(spark, [["w0", "w5"]])
+    scored = score_queries(plain, qdf, terms_filter=["w0", "w5"])
+    plan = scored._jdf.queryExecution().optimizedPlan().toString()
+    assert "term" in plan and " IN " in plan, plan
+    a = top_k(scored, 5).orderBy("rank").collect()
+    b = top_k(score_queries(idx, qdf), 5).orderBy("rank").collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
+        (r["doc_id"], round(r["score"], 9)) for r in b
+    ]
+
+
 def test_checkpointed_build_resumes(spark, tmp_path):
     from bayesian_bm25_js_spark.sources.checkpoints import (
         checkpointed_build,
