@@ -2,12 +2,15 @@
 
 Images/audio/video ride as `binary` columns with a metadata struct;
 decode / feature-extraction / resize / frame-sampling run as
-Arrow-batched `mapInPandas` stages. The decode step is STUBBED in this
-container (no image/audio libs): `decode=\"real\"` raises
-NotImplementedError at the call site, while the default deterministic
-fake decoder hashes the payload into a fixed-shape feature vector so
-the Spark-side plumbing — schema, batch shape, partitioning — is real
-and tested end-to-end.
+Arrow-batched `mapInPandas` stages. Real decoding dispatches on the
+payload's container format: binary PPM (P6) images and RIFF/WAVE
+PCM16 audio have built-in pure-NumPy decoders (runnable in this
+container — no image/audio libs needed); PNG/JPEG/etc. use PIL when
+importable (checked executor-side with a clear error naming pillow);
+compressed audio (librosa) and video (av) decoders are NOT integrated
+and raise per-row. The default deterministic fake decoder hashes the
+payload into a fixed-shape feature vector so the Spark-side plumbing —
+schema, batch shape, partitioning — is testable independent of codecs.
 
 Schema contract:
   media (doc_id long, modality string, data binary,
@@ -71,6 +74,84 @@ FEATURES_SCHEMA = StructType(
 )
 
 
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6, maxval 255). Trivial container
+    format every image tool reads; lets the real-decode path run
+    without PIL."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) pixels, got {arr.shape}")
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8. Pure NumPy: header tokens
+    (whitespace-separated, # comments) then raw RGB."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    # tokenize header: magic, width, height, maxval; a single
+    # whitespace byte follows maxval, then raw pixel data
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3 and i < n:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < n and payload[i] not in (10, 13):
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    need = w * h * 3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
+    return raw.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 PCM samples -> minimal RIFF/WAVE (mono, 16-bit)."""
+    import struct
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM16 -> int16 sample array (channels interleaved).
+    Pure NumPy chunk walk; 16-bit PCM only."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    bits = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            if bits not in (None, 16):
+                raise ValueError(f"only 16-bit PCM supported, got {bits}-bit")
+            return np.frombuffer(body[: len(body) - len(body) % 2], dtype="<i2")
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    raise ValueError("WAVE payload has no data chunk")
+
+
 def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for a real decoder: sha256-seeded feature
     vector in [-1, 1]. Replaces image/audio lib output in this container."""
@@ -84,17 +165,17 @@ def extract_features(
 ) -> DataFrame:
     """media -> (doc_id, modality, feature array<double>[FEATURE_DIM]).
 
-    decode="real" runs actual decoders where the optional libraries are
-    importable: PIL for image rows (FEATURE_DIM-bin grayscale
-    histogram). Audio/video decoders (librosa/av) are not integrated
-    yet; real-mode rows of those modalities raise inside the task. With
-    PIL absent, decode="real" raises at plan time naming the missing
-    dependency."""
-    if decode == "real" and not HAS_PIL:
-        raise NotImplementedError(
-            "decode='real' requires PIL (pillow), which is not "
-            "installed; use decode='fake' for the deterministic stub"
-        )
+    decode="real" dispatches per row on the payload's container
+    format: binary PPM (P6) images and RIFF/WAVE PCM16 audio decode
+    with the built-in pure-NumPy decoders (no optional dependency —
+    the path runs in this container); other image formats (PNG/JPEG/…)
+    need PIL and raise a clear NotImplementedError naming pillow when
+    it is absent (checked on the EXECUTOR, where the decode actually
+    runs); compressed audio and video decoders (librosa/av) are not
+    integrated and raise per-row. Features: images -> FEATURE_DIM-bin
+    normalized grayscale histogram (integer ITU-R 601-2 luma, matching
+    PIL convert("L")); audio -> FEATURE_DIM-bin normalized amplitude
+    histogram over the int16 range."""
     if decode not in ("fake", "real"):
         raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
 
@@ -120,34 +201,52 @@ def extract_features(
     return media.mapInPandas(_extract, schema=FEATURES_SCHEMA)
 
 
-def _real_decode_features(payload: bytes, modality: str, dim: int = FEATURE_DIM):
-    """PIL-backed image features: dim-bin normalized grayscale
-    histogram. Runs inside the Arrow batch, one decode per row."""
-    if modality != "image":
-        raise NotImplementedError(
-            f"real decode for modality {modality!r} is not integrated "
-            "(librosa/av); image rows only"
-        )
-    import io
-
-    try:
-        from PIL import Image
-    except ImportError as e:
-        # Executor-side twin of the driver's plan-time HAS_PIL gate:
-        # on a cluster whose executors lack pillow the plan-time check
-        # (driver env) passes, so fail here with the same clear message
-        # instead of a raw ImportError inside the task.
-        raise NotImplementedError(
-            "decode='real' requires PIL (pillow) on the EXECUTORS; the "
-            "driver has it but this executor does not — install pillow "
-            "cluster-wide or use decode='fake'"
-        ) from e
-
-    img = Image.open(io.BytesIO(payload)).convert("L")
-    hist = np.asarray(img.histogram(), dtype=np.float64)  # 256 bins
-    binned = hist.reshape(dim, 256 // dim).sum(axis=1)
+def _hist_features(hist256: np.ndarray, dim: int):
+    binned = hist256.astype(np.float64).reshape(dim, 256 // dim).sum(axis=1)
     total = binned.sum()
     return (binned / total if total > 0 else binned).tolist()
+
+
+def _real_decode_features(payload: bytes, modality: str, dim: int = FEATURE_DIM):
+    """Format-sniffing real decoders. Runs inside the Arrow batch, one
+    decode per row. PPM/WAV decode natively (pure NumPy); other image
+    formats fall back to PIL with an executor-side dependency check."""
+    if modality == "image":
+        if payload[:2] == b"P6":
+            rgb = decode_ppm(bytes(payload)).astype(np.uint32)
+            # integer ITU-R 601-2 luma — bit-identical to PIL .convert("L")
+            luma = (
+                rgb[..., 0] * 299 + rgb[..., 1] * 587 + rgb[..., 2] * 114
+            ) // 1000
+            return _hist_features(np.bincount(luma.ravel(), minlength=256), dim)
+        import io
+
+        try:
+            from PIL import Image
+        except ImportError as e:
+            # Executor-side twin of the driver-env HAS_PIL probe: on a
+            # cluster whose executors lack pillow, fail with the same
+            # clear message instead of a raw ImportError in the task.
+            raise NotImplementedError(
+                "decode='real' for non-PPM images requires PIL (pillow) "
+                "on the EXECUTORS — install pillow cluster-wide, "
+                "re-encode as binary PPM (P6), or use decode='fake'"
+            ) from e
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        return _hist_features(np.asarray(img.histogram()), dim)
+    if modality == "audio":
+        if payload[:4] == b"RIFF":
+            samples = decode_wav(bytes(payload)).astype(np.int64)
+            bins = ((samples + 32768) * 256) // 65536  # int16 -> 256 bins
+            return _hist_features(np.bincount(bins, minlength=256), dim)
+        raise NotImplementedError(
+            "real decode for compressed audio is not integrated "
+            "(librosa); RIFF/WAVE PCM16 payloads only"
+        )
+    raise NotImplementedError(
+        f"real decode for modality {modality!r} is not integrated (av)"
+    )
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
@@ -196,19 +295,17 @@ def resize_images(
     by the resized encoding and meta.width/height updated (non-image
     rows pass through untouched).
 
-    decode="real" resamples with PIL (optional dependency: raises at
-    plan time naming it when absent) and re-encodes as PNG. The default
-    deterministic fake derives the new payload as
-    sha256(original ++ "WxH"), so the plumbing a real kernel needs —
-    mapInPandas over arrow batches, binary-in/binary-out, metadata
-    rewrite, modality passthrough — is exercised end-to-end and the
-    output is stable for oracle comparison.
+    decode="real" resamples per payload format: binary PPM (P6)
+    resizes nearest-neighbor in pure NumPy and re-encodes as PPM (no
+    optional dependency); other formats resample with PIL (executor-
+    side check raises a clear NotImplementedError naming pillow when
+    absent) and re-encode as PNG. The default deterministic fake
+    derives the new payload as sha256(original ++ "WxH"), so the
+    plumbing a real kernel needs — mapInPandas over arrow batches,
+    binary-in/binary-out, metadata rewrite, modality passthrough — is
+    exercised end-to-end and the output is stable for oracle
+    comparison.
     """
-    if decode == "real" and not HAS_PIL:
-        raise NotImplementedError(
-            "decode='real' requires PIL (pillow), which is not "
-            "installed; use decode='fake' for the deterministic stub"
-        )
     if decode not in ("fake", "real"):
         raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
     if width < 1 or height < 1:
@@ -217,15 +314,27 @@ def resize_images(
     tag = f"{width}x{height}".encode()
 
     def _real_resize(payload: bytes) -> bytes:
+        if payload[:2] == b"P6":
+            rgb = decode_ppm(payload)
+            h0, w0 = rgb.shape[:2]
+            # nearest-neighbor index maps (PIL NEAREST convention:
+            # src = floor((dst + 0.5) * scale))
+            ys = np.minimum(
+                ((np.arange(height) + 0.5) * (h0 / height)).astype(np.int64), h0 - 1
+            )
+            xs = np.minimum(
+                ((np.arange(width) + 0.5) * (w0 / width)).astype(np.int64), w0 - 1
+            )
+            return encode_ppm(rgb[ys][:, xs])
         import io
 
         try:
             from PIL import Image
         except ImportError as e:
             raise NotImplementedError(
-                "decode='real' requires PIL (pillow) on the EXECUTORS; "
-                "the driver has it but this executor does not — install "
-                "pillow cluster-wide or use decode='fake'"
+                "decode='real' for non-PPM images requires PIL (pillow) "
+                "on the EXECUTORS — install pillow cluster-wide, "
+                "re-encode as binary PPM (P6), or use decode='fake'"
             ) from e
 
         img = Image.open(io.BytesIO(payload))

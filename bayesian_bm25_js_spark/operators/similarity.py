@@ -370,3 +370,38 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cos")
     )
+
+
+def ivf_recall(
+    assigned: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: Sequence[int] = (1, 2, 4, 8),
+) -> dict:
+    """recall@k of the PRUNED IVF path vs exact search, per n_probe.
+
+    Parity tests prove ivf_topk matches its mirror; recall is how a
+    user actually grades an ANN index — what fraction of the true
+    top-k survives probing only n_probe of the cells. Exact baseline
+    = ivf_topk with n_probe = n_cells (probes every cell, degenerate
+    brute force over the same normalized vectors, so ties break
+    identically and recall@k is exactly 1.0 there).
+
+    -> {n_probe: recall@k in [0, 1]} plus {"n_queries": int}.
+    One small job per probe level; the corpus-side work is the same
+    cell-pruned scan the production query path does.
+    """
+    n_cells = len(centroids)
+    exact = ivf_topk(assigned, centroids, queries, k=k, n_probe=n_cells).select(
+        "query_id", "vec_id"
+    )
+    denom = exact.count()  # k * n_queries (fewer if corpus < k)
+    out: dict = {"n_queries": int(denom / max(k, 1))}
+    for np_ in n_probes:
+        got = ivf_topk(assigned, centroids, queries, k=k, n_probe=np_).select(
+            "query_id", "vec_id"
+        )
+        hit = exact.join(got, ["query_id", "vec_id"]).count()
+        out[int(np_)] = round(hit / denom, 4) if denom else None
+    return out

@@ -105,3 +105,21 @@ def test_ivf_low_probe_prunes_and_keeps_recall(spark, emb, qdf, ivf):
     probed_cells = 2 * qdf.count()
     total_cells = 8 * qdf.count()
     assert probed_cells < total_cells
+
+
+def test_ivf_recall_metric(spark, emb, qdf, ivf):
+    """ivf_recall: monotone in n_probe, exactly 1.0 at n_probe=n_cells,
+    and consistent with the hand-computed recall of the same runs."""
+    from bayesian_bm25_js_spark.operators.similarity import ivf_recall
+
+    assigned, centroids = ivf
+    rec = ivf_recall(assigned, centroids, qdf, k=10, n_probes=(2, 4, 8))
+    assert rec["n_queries"] == 5
+    assert rec[8] == 1.0
+    assert rec[2] <= rec[4] <= rec[8]
+
+    exact = {(r["query_id"], r["vec_id"])
+             for r in ivf_topk(assigned, centroids, qdf, k=10, n_probe=8).collect()}
+    got2 = {(r["query_id"], r["vec_id"])
+            for r in ivf_topk(assigned, centroids, qdf, k=10, n_probe=2).collect()}
+    assert rec[2] == round(len(exact & got2) / len(exact), 4)
