@@ -133,6 +133,71 @@ class MultiFieldSparkScorer:
         if not self._scorers:
             raise RuntimeError("Call index() before querying.")
 
+    def get_probabilities_batch(
+        self, queries: Sequence[Sequence[str]], dense: bool = False
+    ) -> DataFrame:
+        """Fused probabilities for a BATCH of queries:
+        -> (query_id, doc_id, prob_<field>..., probability).
+
+        One scoring pipeline PER FIELD for the whole batch (each
+        field's postings scan amortizes across every query, like the
+        single-field retrieve batch path), then one (query_id, doc_id)
+        fusion join — not a per-query loop of |queries| x |fields|
+        jobs. dense=False (scale default) outer-joins sparse per-field
+        candidates with absent fields at probability 0.0 — identical
+        fusion values to dense for any doc matched in >=1 field (see
+        get_probabilities)."""
+        self._ensure_indexed()
+        joined = None
+        for field in self._fields:
+            pf = (
+                self._scorers[field]
+                .get_probabilities_batch(queries, dense=dense)
+                .select(
+                    "query_id", "doc_id",
+                    F.col("probability").alias(f"prob_{field}"),
+                )
+            )
+            joined = (
+                pf
+                if joined is None
+                else joined.join(
+                    pf, ["query_id", "doc_id"], "inner" if dense else "outer"
+                )
+            )
+        if not dense:
+            joined = joined.fillna(
+                0.0, subset=[f"prob_{f}" for f in self._fields]
+            )
+        weights = [self._field_weights[f] for f in self._fields]
+        effective_alpha = resolve_alpha(self._alpha, 0.5)
+        fuse = fused_probability_udf(weights, effective_alpha)
+        arr = F.array(*[F.col(f"prob_{f}") for f in self._fields])
+        return joined.withColumn("probability", fuse(arr))
+
+    def retrieve_batch(
+        self, queries: Sequence[Sequence[str]], k: int = 10, dense: bool = False
+    ) -> DataFrame:
+        """Batched top-k by fused probability:
+        -> (query_id, rank, doc_id, probability); query_id indexes into
+        `queries`, ties break by ascending doc_id. Runs the salted
+        two-phase top-k across the whole batch (phase-1 slices by
+        (query_id, hash(doc_id))), so per-field scans amortize across
+        the batch exactly like the single-field retrieve path."""
+        probs = self.get_probabilities_batch(queries, dense=dense)
+        from bayesian_bm25_js_spark.operators.scoring import top_k
+
+        ranked = top_k(
+            probs.select(
+                "query_id", "doc_id", F.col("probability").alias("score")
+            ),
+            k,
+            round_dp=None,
+        )
+        return ranked.select(
+            "query_id", "rank", "doc_id", F.col("score").alias("probability")
+        )
+
     def get_probabilities(
         self, query_tokens: Sequence[str], dense: bool = True
     ) -> DataFrame:

@@ -292,17 +292,19 @@ class BayesianBM25SparkScorer:
             *(TRACE_COLUMNS if explain else []),
         )
 
-    def get_probabilities(
-        self, query_tokens: Sequence[str], dense: bool = True
+    def get_probabilities_batch(
+        self, queries: Sequence[Sequence[str]], dense: bool = False
     ) -> DataFrame:
-        """Per-doc probabilities for one query (scorer.ts:532-547):
-        -> (doc_id, score, probability). dense=True (the reference
-        contract) emits one row per corpus doc with zero-score docs at
-        exactly 0.0; dense=False emits matched docs only (the scale
-        shape — absent rows are semantically 0.0)."""
+        """Per-doc probabilities for a BATCH of queries:
+        -> (query_id, doc_id, score, tf_overlap, dl, probability).
+        query_id indexes into `queries`. One scoring pipeline for the
+        whole batch — the postings/term_stats scans amortize across
+        queries exactly like retrieve()'s batch path, instead of one
+        job per query (the throughput knob at high core counts is
+        batch WIDTH; see bench.py's pipelining A/B)."""
         self._ensure_indexed()
         t = self._transform
-        scores = self._score([list(query_tokens)], dense=dense)
+        scores = self._score([list(q) for q in queries], dense=dense)
         return calibrate(
             scores,
             self._index,
@@ -311,6 +313,18 @@ class BayesianBM25SparkScorer:
             t.base_rate,
             mode=t.training_mode,
             prior_fn=t._prior_fn,
+        ).select("query_id", "doc_id", "score", "tf_overlap", "dl", "probability")
+
+    def get_probabilities(
+        self, query_tokens: Sequence[str], dense: bool = True
+    ) -> DataFrame:
+        """Per-doc probabilities for one query (scorer.ts:532-547):
+        -> (doc_id, score, probability). dense=True (the reference
+        contract) emits one row per corpus doc with zero-score docs at
+        exactly 0.0; dense=False emits matched docs only (the scale
+        shape — absent rows are semantically 0.0)."""
+        return self.get_probabilities_batch(
+            [list(query_tokens)], dense=dense
         ).select("doc_id", "score", "tf_overlap", "dl", "probability")
 
     # -- explain --------------------------------------------------------------

@@ -177,3 +177,44 @@ def test_missing_field_raises(spark):
         s.index(spark.createDataFrame([(0, ["x"])], "doc_id long, title array<string>"))
     with pytest.raises(RuntimeError, match="index"):
         MultiFieldSparkScorer(fields=["title"]).retrieve(["x"])
+
+
+def test_retrieve_batch_matches_per_query_loop(mf):
+    """Batched multi-field retrieve == a loop of single retrieves: same
+    doc order, same fused probabilities, per query."""
+    queries = [
+        ["machine", "learning"],
+        ["neural", "networks"],
+        ["machine", "machine", "unknownterm"],
+    ]
+    batched = {}
+    for r in (
+        mf.retrieve_batch(queries, k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    ):
+        batched.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["probability"])
+        )
+    for qid, q in enumerate(queries):
+        single = [
+            (r["rank"], r["doc_id"], r["probability"])
+            for r in mf.retrieve(q, k=5).orderBy("rank").collect()
+        ]
+        assert batched.get(qid, []) == single, q
+
+
+def test_get_probabilities_batch_matches_single(mf):
+    probs_b = {
+        (r["query_id"], r["doc_id"]): r["probability"]
+        for r in mf.get_probabilities_batch(
+            [["machine", "learning"], ["neural"]], dense=False
+        ).collect()
+    }
+    for qid, q in enumerate([["machine", "learning"], ["neural"]]):
+        single = {
+            r["doc_id"]: r["probability"]
+            for r in mf.get_probabilities(q, dense=False).collect()
+        }
+        got = {d: p for (i, d), p in probs_b.items() if i == qid}
+        assert got == single, q
