@@ -6,7 +6,7 @@ postings dominate storage, so the engine packs them into fixed
 doc-range blocks:
 
   packed (term, block_id, n, min_doc_id, max_doc_id, max_contrib,
-          doc_deltas BINARY, tfs BINARY, dls BINARY)
+          doc_deltas BINARY, tfs BINARY, dls BINARY, dl_min, dl_width)
 
 * block_id = doc_id // block_size — the reference's block rule
   (scorer.ts:659-661), so block membership is a pure function of
@@ -14,8 +14,12 @@ doc-range blocks:
   holds ≤ block_size postings regardless of term frequency).
 * doc_deltas: varint gaps of ascending doc_ids within the block
   (first gap is from the block base, doc_id - block_id*block_size);
-  tfs: varint term frequencies; dls: varint doc lengths — denormalized
-  into the blob so the packed query path never joins the corpus-sized
+  tfs / dls: frame-of-reference bit-packed term frequencies and doc
+  lengths (residuals from the block min at a fixed per-block bit
+  width — tf and dl cluster, so residuals fit 2-8 bits where varint
+  paid 8-16, and an all-equal block stores zero payload). dl is
+  denormalized into the
+  blob so the packed query path never joins the corpus-sized
   doc_stats table back on (at 10^12 docs that join shuffled a
   corpus-sized table per query batch; VERDICT r02 "What's wrong" #2).
 * max_contrib: the block's max BM25 contribution idf*tf_norm — the
@@ -142,6 +146,96 @@ def _decode_rows(blobs) -> tuple:
     return all_values, row_counts
 
 
+def _for_encode_rows(values: np.ndarray, row_starts: np.ndarray, lens: np.ndarray):
+    """Frame-of-reference bit-pack many rows in one vectorized pass.
+
+    Per row: residuals v - min(v) packed MSB-first at the row's fixed
+    bit width w = bits(max residual); rows are byte-aligned so they
+    slice out of one buffer. -> (blobs list[bytes], mins int64[],
+    widths uint8[]). A row of identical values has width 0 and an
+    EMPTY blob — the common case for dl streams over uniform docs.
+    """
+    n_rows = len(lens)
+    mins = np.zeros(n_rows, dtype=np.int64)
+    widths = np.zeros(n_rows, dtype=np.uint8)
+    if values.size == 0:
+        return [b""] * n_rows, mins, widths
+    v = values.astype(np.int64, copy=False)
+    row_ids = np.repeat(np.arange(n_rows), lens)
+    mins = np.full(n_rows, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(mins, row_ids, v)
+    mins[lens == 0] = 0
+    resid = (v - mins[row_ids]).astype(np.uint64)
+    row_max = np.zeros(n_rows, dtype=np.uint64)
+    np.maximum.at(row_max, row_ids, resid)
+    # bits needed for the max residual (0 for all-equal rows)
+    widths = np.where(
+        row_max > 0, np.floor(np.log2(np.maximum(row_max, 1))).astype(np.int64) + 1, 0
+    ).astype(np.uint8)
+    w_per_val = widths[row_ids].astype(np.int64)
+    # bit layout: rows byte-aligned; inside a row, value j occupies
+    # bits [j*w, (j+1)*w) MSB-first
+    row_bits = lens * widths.astype(np.int64)
+    row_bytes = (row_bits + 7) // 8
+    row_byte_offs = np.concatenate(([0], np.cumsum(row_bytes)))
+    total_bits = int(row_byte_offs[-1]) * 8
+    if total_bits == 0:
+        return [b""] * n_rows, mins, widths
+    bits = np.zeros(total_bits, dtype=np.uint8)
+    # start bit of each value: row's byte offset * 8 + idx_in_row * w
+    idx_in_row = np.arange(len(v)) - row_starts[row_ids]
+    val_start = row_byte_offs[row_ids] * 8 + idx_in_row * w_per_val
+    maxw = int(widths.max())
+    for j in range(maxw):
+        sel = w_per_val > j
+        # bit j (MSB-first) of the residual
+        shift = (w_per_val[sel] - 1 - j).astype(np.uint64)
+        bits[val_start[sel] + j] = ((resid[sel] >> shift) & np.uint64(1)).astype(
+            np.uint8
+        )
+    buf = np.packbits(bits).tobytes()
+    return (
+        [buf[lo:hi] for lo, hi in zip(row_byte_offs[:-1], row_byte_offs[1:])],
+        mins,
+        widths,
+    )
+
+
+def _for_decode_rows(blobs, mins, widths, counts) -> np.ndarray:
+    """Inverse of _for_encode_rows -> all rows' values concatenated
+    (int64, row order). counts: values per row (width-0 rows decode to
+    `count` copies of min)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    n_rows = len(counts)
+    mins = np.asarray(mins, dtype=np.int64)
+    widths = np.asarray(widths, dtype=np.int64)
+    total = int(counts.sum())
+    out = np.empty(total, dtype=np.int64)
+    row_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    row_ids = np.repeat(np.arange(n_rows), counts)
+    out[:] = mins[row_ids]
+    packed = widths > 0
+    if not packed.any():
+        return out
+    buf = b"".join(bytes(b) for b in blobs)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+    byte_lens = np.fromiter(
+        (len(b) for b in blobs), dtype=np.int64, count=n_rows
+    )
+    byte_offs = np.concatenate(([0], np.cumsum(byte_lens)))
+    w_per_val = widths[row_ids]
+    sel = w_per_val > 0
+    idx_in_row = np.arange(total) - row_starts[row_ids]
+    val_start = byte_offs[row_ids] * 8 + idx_in_row * w_per_val
+    resid = np.zeros(total, dtype=np.int64)
+    maxw = int(widths.max())
+    for j in range(maxw):
+        s = w_per_val > j
+        resid[s] = (resid[s] << 1) | bits[val_start[s] + j]
+    out[sel] += resid[sel]
+    return out
+
+
 def pack_postings(
     index: InvertedIndex,
     block_size: int = DEFAULT_BLOCK_SIZE,
@@ -176,7 +270,10 @@ def pack_postings(
         raise ValueError(f"pack_by must be 'count' or 'range', got {pack_by!r}")
     contrib = index.tf_norm_column(F.col("tf"), F.col("dl")) * F.col("idf")
 
-    @pandas_udf("struct<doc_deltas:binary,tfs:binary,dls:binary>")
+    @pandas_udf(
+        "struct<doc_deltas:binary,tfs:binary,dls:binary,"
+        "tf_min:bigint,tf_width:int,dl_min:bigint,dl_width:int>"
+    )
     def _pack(
         doc_arrs: pd.Series, tf_arrs: pd.Series, dl_arrs: pd.Series, bases: pd.Series
     ) -> pd.DataFrame:
@@ -189,7 +286,12 @@ def pack_postings(
         row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         if lens.sum() == 0:
             empty = [b""] * len(lens)
-            return pd.DataFrame({"doc_deltas": empty, "tfs": empty, "dls": empty})
+            zeros = np.zeros(len(lens), dtype=np.int64)
+            return pd.DataFrame(
+                {"doc_deltas": empty, "tfs": empty, "dls": empty,
+                 "tf_min": zeros, "tf_width": zeros.astype(np.int32),
+                 "dl_min": zeros, "dl_width": zeros.astype(np.int32)}
+            )
         all_docs = np.concatenate(
             [np.asarray(a, dtype=np.int64) for a in doc_arrs]
         )
@@ -201,11 +303,24 @@ def pack_postings(
         gaps[row_starts[nz]] = all_docs[row_starts[nz]] - np.asarray(
             bases, dtype=np.int64
         )[nz]
+        # tf + dl: frame-of-reference bit-packing, not varint — both
+        # cluster tightly within a block (tf mostly 1-4 -> 2-3 bits
+        # where varint pays 8; dl residuals fit ~8 bits where varint
+        # paid 16), and an all-equal block stores ZERO payload bytes.
+        # Deltas stay varint: doc-gap distributions are outlier-heavy
+        # (one cross-segment jump in a block of gap-1s would blow a
+        # fixed FOR width for all 128 values; varint adapts per value).
+        tf_blobs, tf_mins, tf_widths = _for_encode_rows(all_tfs, row_starts, lens)
+        dl_blobs, dl_mins, dl_widths = _for_encode_rows(all_dls, row_starts, lens)
         return pd.DataFrame(
             {
                 "doc_deltas": _encode_rows(gaps, row_starts, lens),
-                "tfs": _encode_rows(all_tfs, row_starts, lens),
-                "dls": _encode_rows(all_dls, row_starts, lens),
+                "tfs": tf_blobs,
+                "dls": dl_blobs,
+                "tf_min": tf_mins,
+                "tf_width": tf_widths.astype(np.int32),
+                "dl_min": dl_mins,
+                "dl_width": dl_widths.astype(np.int32),
             }
         )
 
@@ -280,6 +395,10 @@ def pack_postings(
         F.col("blob.doc_deltas").alias("doc_deltas"),
         F.col("blob.tfs").alias("tfs"),
         F.col("blob.dls").alias("dls"),
+        F.col("blob.tf_min").alias("tf_min"),
+        F.col("blob.tf_width").alias("tf_width"),
+        F.col("blob.dl_min").alias("dl_min"),
+        F.col("blob.dl_width").alias("dl_width"),
     )
     return packed
 
@@ -291,16 +410,27 @@ def unpack_postings(packed: DataFrame) -> DataFrame:
 
     @pandas_udf("struct<doc_ids:array<bigint>,tfs:array<int>,dls:array<int>>")
     def _unpack(
-        deltas: pd.Series, tfs: pd.Series, dls: pd.Series, bases: pd.Series
+        deltas: pd.Series,
+        tfs: pd.Series,
+        dls: pd.Series,
+        bases: pd.Series,
+        tf_mins: pd.Series,
+        tf_widths: pd.Series,
+        dl_mins: pd.Series,
+        dl_widths: pd.Series,
     ) -> pd.DataFrame:
         # whole-batch vectorized decode; per-row work is one np.split
         # slice, and the struct rows are zipped JVM-side (arrays_zip)
         d_blobs = [bytes(d) for d in deltas]
-        t_blobs = [bytes(t) for t in tfs]
-        l_blobs = [bytes(x) for x in dls]
         gaps, counts = _decode_rows(d_blobs)
-        tf_all, t_counts = _decode_rows(t_blobs)
-        dl_all, l_counts = _decode_rows(l_blobs)
+        tf_all = _for_decode_rows(
+            [bytes(t) for t in tfs], tf_mins, tf_widths, counts
+        )
+        dl_all = _for_decode_rows(
+            [bytes(x) for x in dls], dl_mins, dl_widths, counts
+        )
+        t_counts = counts
+        l_counts = counts
         # per-row cumsum of gaps rebased to the block's min_doc_id:
         # global cumsum minus the cumsum just before each row's start
         g = np.cumsum(gaps.astype(np.int64))
@@ -325,7 +455,9 @@ def unpack_postings(packed: DataFrame) -> DataFrame:
         packed.withColumn(
             "blob",
             _unpack(
-                F.col("doc_deltas"), F.col("tfs"), F.col("dls"), F.col("min_doc_id")
+                F.col("doc_deltas"), F.col("tfs"), F.col("dls"),
+                F.col("min_doc_id"), F.col("tf_min"), F.col("tf_width"),
+                F.col("dl_min"), F.col("dl_width"),
             ),
         )
         .withColumn(

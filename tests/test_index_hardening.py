@@ -277,8 +277,10 @@ def test_packed_format_version_check(spark, rnd_index, tmp_path):
     corpus, idx = rnd_index
     path = str(tmp_path / "pidx_v1")
     save_index(idx, path, packed=True, block_size=64)
+    from bayesian_bm25_js_spark.sources.index_store import PACKED_FORMAT_VERSION
+
     meta = json.load(open(f"{path}/meta.json"))
-    assert meta["packed_format"] == 2
+    assert meta["packed_format"] == PACKED_FORMAT_VERSION
     meta.pop("packed_format")  # simulate a pre-versioning pack
     json.dump(meta, open(f"{path}/meta.json", "w"))
     with pytest.raises(ValueError, match="older build"):
@@ -342,3 +344,61 @@ def test_checkpointed_build_resumes(spark, tmp_path):
     docs_metrics = read_metrics(path, "docs")
     assert docs_metrics["rows"] == len(SMALL_CORPUS)
     assert docs_metrics["partitions"]
+
+
+def test_df_lookup_caches_across_batches(rnd_index):
+    """Router v2: the driver-side term->df cache makes a warm batch's
+    routing decision free of Spark jobs — re-lookups are served from
+    the dict (proved by poisoning the cache), and terms absent from
+    the vocab cache df=0 instead of re-collecting every batch."""
+    _, idx = rnd_index
+    first = idx.df_lookup(["w0", "w7", "definitely-absent"])
+    assert first["w0"] > 0 and first["definitely-absent"] == 0
+    # poison the cache: if the second lookup hit Spark it would return
+    # the true df again, not the sentinel
+    idx._df_cache["w0"] = -123
+    second = idx.df_lookup(["w0", "definitely-absent"])
+    assert second == {"w0": -123, "definitely-absent": 0}
+    idx._df_cache["w0"] = first["w0"]  # restore for other tests
+
+
+def test_fit_router_floor():
+    from bayesian_bm25_js_spark.operators.wand import fit_router_floor
+
+    # typical shape: wand 3.6s with 20% kept, exhaustive 2.3s over 10M
+    # postings -> c_e = 2.3e-7 s/posting, a_w = 3.6 - 0.2*2.3 = 3.14s,
+    # floor = a_w/c_e ~= 13.7M avoided postings
+    floor = fit_router_floor(3.6, 2.3, 10_000_000, 0.2)
+    assert floor == int((3.6 - 2.3 * 0.2) / (2.3 / 10_000_000))
+    # WAND strictly dominating -> floor 0 (always route to WAND)
+    assert fit_router_floor(0.1, 5.0, 10_000_000, 0.1) == 0
+    # degenerate measurements fall back to the default constant
+    assert fit_router_floor(0.0, 2.0, 1000, 0.2) == 50_000_000
+    assert fit_router_floor(2.0, 2.0, 0, 0.2) == 50_000_000
+
+
+def test_for_codec_roundtrip():
+    """Frame-of-reference bit-packing: exact roundtrip across mixed
+    widths, all-equal rows (zero payload), empty rows, and outliers."""
+    from bayesian_bm25_js_spark.operators.compression import (
+        _for_decode_rows,
+        _for_encode_rows,
+    )
+
+    rng = mulberry32(13)
+    rows = [
+        [100] * 7,                               # all-equal -> width 0
+        [],                                      # empty
+        [int(rng() * 5000) + 3 for _ in range(128)],
+        [0, 1],
+        [7, 7, 7, 8],                            # width 1
+        [int(rng() * 2**40), 5, 9],              # outlier forces wide row
+    ]
+    lens = np.array([len(r) for r in rows], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    flat = np.array([x for r in rows for x in r], dtype=np.int64)
+    blobs, mins, widths = _for_encode_rows(flat, starts, lens)
+    assert widths[0] == 0 and blobs[0] == b""   # all-equal stores nothing
+    assert blobs[1] == b"" and widths[4] == 1
+    out = _for_decode_rows(blobs, mins, widths, lens)
+    assert out.tolist() == flat.tolist()
