@@ -29,8 +29,8 @@ full shuffle (see sources/index_store.py).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
-from typing import Optional
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,6 +68,34 @@ class InvertedIndex:
     # store): scoring then ALSO applies the string term In-filter so
     # the predicate reaches parquet row-group stats (see score_queries)
     push_string_filter: bool = False
+    # Driver-side term -> df cache for the selectivity router. Bounded
+    # by the query-side vocabulary actually seen (terms, not postings),
+    # so it stays tiny even against a 10^9-term index; terms absent
+    # from the vocab cache df=0 so they never re-trigger a lookup.
+    _df_cache: dict = field(default_factory=dict, repr=False, compare=False)
+
+    def df_lookup(self, terms: Sequence[str]) -> dict:
+        """term -> df for the given terms, cached across batches.
+
+        First sight of a term costs one bounded In-filter collect over
+        the vocab-sized term_stats table; a warm batch (every term
+        seen before) costs ZERO driver actions — the router's routing
+        decision then happens entirely at plan-construction time."""
+        want = set(terms)
+        missing = sorted(want - self._df_cache.keys())
+        if missing:
+            from bayesian_bm25_js_spark.operators.scoring import isin_filter
+
+            rows = (
+                self.term_stats.filter(isin_filter("term", missing))
+                .select("term", "df")
+                .collect()
+            )
+            for r in rows:
+                self._df_cache[r["term"]] = int(r["df"])
+            for t in missing:
+                self._df_cache.setdefault(t, 0)
+        return {t: self._df_cache[t] for t in want}
 
     def tf_norm_column(self, tf_col, dl_col):
         """BM25 term-frequency normalisation (bm25.ts:119-121):

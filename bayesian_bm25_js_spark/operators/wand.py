@@ -197,19 +197,12 @@ def route_queries(
       stop-word query costs WAND only its (unprunable) fan-out plus
       bounded per-block bounds work.
 
-    The df lookup is ONE bounded driver action: term_stats filtered to
-    the batch's distinct terms (an In-predicate over the vocab table —
-    scale-independent: the result is <= the batch's term count, never
-    the vocab)."""
-    from bayesian_bm25_js_spark.operators.scoring import isin_filter
-
-    terms = sorted({t for q in queries for t in q})
-    df_by_term = {
-        r["term"]: r["df"]
-        for r in index.term_stats.filter(isin_filter("term", terms))
-        .select("term", "df")
-        .collect()
-    }
+    The df lookup costs at most ONE bounded driver action per batch —
+    term_stats In-filtered to the batch's UNSEEN terms (never the
+    vocab) — and ZERO once the batch's terms are in the index's
+    driver-side df cache (index.df_lookup): a warm workload routes
+    entirely at plan-construction time."""
+    df_by_term = index.df_lookup([t for q in queries for t in q])
     thresh = float(hot_df_frac) * index.n_docs
     all_ids = list(range(len(queries)))
     prunable_ids = [
@@ -223,6 +216,36 @@ def route_queries(
     if prunable < min_prunable_postings:
         return all_ids, []
     return [], all_ids
+
+
+def fit_router_floor(
+    wand_seconds: float,
+    exhaustive_seconds: float,
+    batch_volume: int,
+    kept_frac: float,
+    safety: float = 1.0,
+    default: int = 50_000_000,
+) -> int:
+    """Fit min_prunable_postings from one measured pair of branch
+    timings on the SAME workload (the bench measures both), replacing
+    the hand-calibrated 50M constant with this box's own numbers.
+
+    Cost model: exhaustive ≈ c_e·V (V = Σ df over batch tokens);
+    WAND ≈ a_w + c_e·kept·V, so its fixed overhead is
+    a_w = t_wand − c_e·kept·V. WAND wins when the avoided volume
+    V·(1−kept) exceeds a_w/c_e — that quotient IS the floor the
+    router compares its prunable-volume estimate against.
+
+    Degenerate inputs (no volume, non-positive timings) fall back to
+    `default`; a_w ≤ 0 (WAND strictly dominating) returns 0 so every
+    batch routes to WAND."""
+    if batch_volume <= 0 or exhaustive_seconds <= 0 or wand_seconds <= 0:
+        return default
+    c_e = exhaustive_seconds / batch_volume
+    a_w = wand_seconds - c_e * kept_frac * batch_volume
+    if a_w <= 0:
+        return 0
+    return int(safety * a_w / c_e)
 
 
 def auto_topk(

@@ -48,6 +48,14 @@ N_FILES = int(os.environ.get("BENCH_FILES", "100000"))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", "200"))
 BLOCK_SIZE = 128
 
+# Last round's final commit: the ab_vs_prev comparison target. Bumped
+# each round so "did this round make it faster" is answerable from
+# BENCH_rN.json alone (same-session interleaved A/B, not cross-session
+# wall-clock deltas that mostly measure the box — see BENCH_r02 vs
+# BENCH_r03, where engine-external probes degraded 0.757 -> 0.157
+# between sessions and every untouched leg 'regressed' 1.3-1.5x).
+PREV_ROUND_REV = os.environ.get("BENCH_AB_REV", "f06fd35")
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
@@ -100,6 +108,113 @@ def _phase_cpu_seconds(log_dir: str, app_id: str) -> dict:
     return cpu
 
 
+def measure_probes(cpus: int) -> dict:
+    """Engine-external hardware-ceiling probes, embedded in every bench
+    JSON so cross-round leg comparisons can be normalized for the
+    box's condition THAT session. Must run before the JVM exists
+    (mp.Pool forks; forking under a live JVM is unsafe). units/s are
+    comparable across rounds: the work per unit is fixed."""
+    return {
+        "cpu_1proc": round(_probe(_burn_cpu, 1), 3),
+        "dram_1proc": round(_probe(_burn_mem, 1), 3),
+        f"cpu_{cpus}proc": round(_probe(_burn_cpu, cpus), 3),
+        f"dram_{cpus}proc": round(_probe(_burn_mem, cpus), 3),
+    }
+
+
+def run_ab(prev_rev: str, trials: int = 2) -> dict:
+    """Same-session interleaved A/B of the previous round's code vs
+    HEAD on the flagship legs (build + wand + routed queries), lean
+    mode, fresh JVM per run. This is the only trustworthy
+    round-over-round speed signal on a box whose absolute throughput
+    moves 1.3-1.5x between sessions."""
+    import shutil
+
+    wt = f"/tmp/bench-ab-{prev_rev}"
+    shutil.rmtree(wt, ignore_errors=True)
+    rc = subprocess.run(
+        ["git", "-C", os.path.dirname(os.path.abspath(__file__)) or ".",
+         "worktree", "add", "--detach", wt, prev_rev],
+        capture_output=True, text=True,
+    )
+    if rc.returncode != 0:
+        return {"rev": prev_rev, "error": rc.stderr.strip()[:200]}
+    try:
+        env = dict(
+            os.environ,
+            BENCH_LEAN="1", BENCH_SKIP_SUITE="1", BENCH_SKIP_PACKED="1",
+            BENCH_PROBE="0", BENCH_SKIP_AB="1",
+            BENCH_FILES=os.environ.get("BENCH_AB_FILES", "50000"),
+            BENCH_QUERIES=os.environ.get("BENCH_AB_QUERIES", "200"),
+            SPARK_GRAFT_CPUS=str(CPUS),
+        )
+        runs: dict[str, list[dict]] = {"prev": [], "cur": []}
+        sides = [("prev", wt), ("cur", os.path.dirname(os.path.abspath(__file__)) or ".")]
+        for t in range(trials):
+            for name, d in sides if t % 2 == 0 else reversed(sides):
+                out = subprocess.run(
+                    [sys.executable, os.path.join(d, "bench.py")],
+                    env=env, cwd=d, capture_output=True, text=True,
+                )
+                try:
+                    runs[name].append(json.loads(out.stdout.strip().splitlines()[-1]))
+                except (IndexError, json.JSONDecodeError):
+                    return {"rev": prev_rev,
+                            "error": f"{name} run failed: {out.stderr.strip()[-300:]}"}
+                log(f"[ab] trial {t} {name}: "
+                    f"{runs[name][-1]['files_per_sec']} f/s, "
+                    f"{runs[name][-1]['qps_top10_calibrated']} q/s")
+        med = lambda side, key: statistics.median(r[key] for r in runs[side])
+        legs = {}
+        for key in ("files_per_sec", "qps_top10_calibrated", "qps_wand"):
+            p, c = med("prev", key), med("cur", key)
+            legs[key] = {"prev": p, "cur": c,
+                         "ratio": round(c / p, 3) if p else None}
+        return {"rev": prev_rev, "trials": trials,
+                "n_files": int(env["BENCH_FILES"]),
+                "n_queries": int(env["BENCH_QUERIES"]), "legs": legs}
+    finally:
+        shutil.rmtree(wt, ignore_errors=True)
+        subprocess.run(["git", "worktree", "prune"], capture_output=True)
+
+
+def run_sf1() -> dict:
+    """Scale rehearsal (VERDICT r03 next #2): the identical build +
+    block-max + WAND/routed query + packed write/scan job at 10x the
+    bench corpus (default 1M files ~ sf1), fresh JVM, bigger heap.
+    Reports absolute throughputs plus the per-leg ratio vs the sf0.1
+    run so any leg that falls off its predicted slope is visible in
+    the artifact itself."""
+    n_files = int(os.environ.get("BENCH_SF1_FILES", "1000000"))
+    env = dict(
+        os.environ,
+        BENCH_FILES=str(n_files),
+        BENCH_QUERIES=os.environ.get("BENCH_SF1_QUERIES", "1000"),
+        BENCH_LEAN="1",
+        BENCH_KEPT_STATS="1",
+        BENCH_SKIP_SUITE="1",
+        BENCH_SKIP_AB="1",
+        BENCH_PROBE="0",
+        SPARK_GRAFT_CPUS=str(CPUS),
+        SPARK_DRIVER_MEM=os.environ.get("BENCH_SF1_MEM", "24g"),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True,
+    )
+    try:
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+    except (IndexError, json.JSONDecodeError):
+        return {"n_files": n_files,
+                "error": out.stderr.strip()[-400:] or "no output"}
+    keep = ["n_files", "files_per_sec", "qps_top10_calibrated", "qps_wand",
+            "wand_blocks_kept_frac", "packed_size_ratio", "cpu_s_build",
+            "cpu_s_query_auto"]
+    sf1 = {k: r.get(k) for k in keep}
+    sf1["timings"] = r.get("queries")
+    return sf1
+
+
 def run_bench(cpus: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -118,6 +233,13 @@ def run_bench(cpus: int) -> dict:
     from bayesian_bm25_js_spark.operators.wand import auto_topk, wand_topk
     from bayesian_bm25_js_spark.session import get_spark
     from bayesian_bm25_js_spark.sources.corpus import synthesize_code_corpus
+
+    # probes BEFORE the JVM exists (fork safety) — skipped in lean
+    # scaling/AB children, whose parent probes once for all trials
+    probes = None
+    if os.environ.get("BENCH_PROBE", "1") != "0":
+        probes = measure_probes(cpus)
+        log(f"[bench] hw probes: {probes}")
 
     log_dir = f"/tmp/bench-events-{os.getpid()}"
     os.makedirs(log_dir, exist_ok=True)
@@ -186,24 +308,35 @@ def run_bench(cpus: int) -> dict:
     )
 
     # -- query workload: flagship = WAND-pruned calibrated top-10 ------------
+    # EVERY timed leg constructs its query DataFrame inside the timed
+    # region: a production batch is always new queries, and reusing
+    # one persisted/planned query DF across repeats lets Spark skip
+    # shuffle stages — flattering whichever leg got the shared object
+    # (measured: shared scored-DF hot leg 0.98s vs fresh 1.33s for
+    # identical work). Fresh construction keeps all legs — pure wand,
+    # pure exhaustive, routed — apples-to-apples.
     workload = build_workload(N_QUERIES)
     terms = sorted({t for q in workload for t in q})
-    qdf = queries_to_df(spark, workload).persist()
-    qdf.count()
+    qdf = queries_to_df(spark, workload)  # un-timed uses (stats leg)
 
     def run_wand():
         ranked = wand_topk(
-            index, qdf, 10, block_max=bm, block_size=BLOCK_SIZE,
-            terms_filter=terms,
+            index, queries_to_df(spark, workload), 10, block_max=bm,
+            block_size=BLOCK_SIZE, terms_filter=terms,
         )
         return calibrate(ranked, index, 1.0, 0.5, 0.05).count()
 
     def run_exhaustive():
-        scores = score_queries(index, qdf, terms_filter=terms)
+        scores = score_queries(
+            index, queries_to_df(spark, workload), terms_filter=terms
+        )
         return calibrate(top_k(scores, 10), index, 1.0, 0.5, 0.05).count()
 
     def run_auto(wl):
-        ranked = auto_topk(index, wl, 10, block_max=bm, block_size=BLOCK_SIZE)
+        kw = {}
+        if router_floor is not None:
+            kw["min_prunable_postings"] = router_floor
+        ranked = auto_topk(index, wl, 10, block_max=bm, block_size=BLOCK_SIZE, **kw)
         return calibrate(ranked, index, 1.0, 0.5, 0.05).count()
 
     t0 = time.time()
@@ -226,6 +359,18 @@ def run_bench(cpus: int) -> dict:
     # workload — so each fresh-JVM trial measures build + flagship only.
     lean = os.environ.get("BENCH_LEAN") == "1"
 
+    router_floor = None
+    blocks_kept_frac = None
+    if not lean or os.environ.get("BENCH_KEPT_STATS") == "1":
+        _, kstats = wand_topk(index, qdf, 10, block_max=bm,
+                              block_size=BLOCK_SIZE, terms_filter=terms,
+                              return_stats=True)
+        krow = kstats.agg(
+            F.sum("blocks_total").alias("t"), F.sum("blocks_kept").alias("k")
+        ).collect()[0]
+        blocks_kept_frac = round(krow["k"] / krow["t"], 4) if krow["t"] else None
+        log(f"[bench] wand pruning: kept {krow['k']}/{krow['t']} blocks = {blocks_kept_frac}")
+
     if not lean:
         exh = []
         for _ in range(2):
@@ -235,6 +380,21 @@ def run_bench(cpus: int) -> dict:
         timings["query_exhaustive"] = round(min(exh), 3)
         log(f"[bench] exhaustive: {timings['query_exhaustive']}s "
             f"(pruning speedup {timings['query_exhaustive']/query_s:.2f}x)")
+
+        # Self-calibrate the router floor from the two branch timings
+        # just measured (fit_router_floor docstring has the model):
+        # the routed legs below run with THIS box's constants, not the
+        # hand-calibrated 50M default.
+        from bayesian_bm25_js_spark.operators.wand import fit_router_floor
+
+        dfs = index.df_lookup([t for q in workload for t in q])
+        batch_volume = sum(dfs.get(t, 0) for q in workload for t in q)
+        router_floor = fit_router_floor(
+            query_s, timings["query_exhaustive"], batch_volume,
+            blocks_kept_frac or 0.2,
+        )
+        log(f"[bench] router floor fitted: {router_floor} avoided postings "
+            f"(batch volume {batch_volume}, kept {blocks_kept_frac})")
 
     # selectivity-routed flagship: per-query WAND vs salted-exhaustive
     sc.setJobGroup("query_auto", "warm routed queries")
@@ -290,17 +450,6 @@ def run_bench(cpus: int) -> dict:
         log(f"[bench] pipelined ({pipe_batches} batches, depth {pipe_depth}): "
             f"median {timings['query_pipelined']}s = {qps_pipe} q/s")
 
-    # pruning power
-    blocks_kept_frac = None
-    if not lean:
-        _, stats = wand_topk(index, qdf, 10, block_max=bm, block_size=BLOCK_SIZE,
-                             terms_filter=terms, return_stats=True)
-        srow = stats.agg(
-            F.sum("blocks_total").alias("t"), F.sum("blocks_kept").alias("k")
-        ).collect()[0]
-        blocks_kept_frac = round(srow["k"] / srow["t"], 4) if srow["t"] else None
-        log(f"[bench] wand pruning: kept {srow['k']}/{srow['t']} blocks = {blocks_kept_frac}")
-
     # -- hot-term skew workload ----------------------------------------------
     # Every query contains the corpus's top-df term: the per-query
     # scored set is ~the whole corpus, the workload the salted
@@ -314,25 +463,35 @@ def run_bench(cpus: int) -> dict:
         top_term = index.term_stats.orderBy(F.desc("df")).limit(1).collect()[0]["term"]
     hot_wl = [[top_term] + q[:2] for q in workload[:50]] if top_term else []
     if hot_wl:
-        hot_qdf = queries_to_df(spark, hot_wl)
         hot_terms = sorted({t for q in hot_wl for t in q})
-        hot_scores = score_queries(index, hot_qdf, terms_filter=hot_terms)
-        for label, two_phase in [("query_hot_salted", True), ("query_hot_onephase", False)]:
-            t0 = time.time()
+        index.df_lookup(hot_terms)  # router df cache warm, like a service
+
+        def best2(fn):
+            # single-shot legs swing +-30% on this box; best-of-2 is a
+            # stable lower bound and keeps legs comparable
+            a = []
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                a.append(time.time() - t0)
+            return round(min(a), 3)
+
+        def hot_exhaustive(two_phase):
+            hot_scores = score_queries(
+                index, queries_to_df(spark, hot_wl), terms_filter=hot_terms
+            )
             calibrate(
                 top_k(hot_scores, 10, two_phase=two_phase), index, 1.0, 0.5, 0.05
             ).count()
-            timings[label] = round(time.time() - t0, 3)
-        t0 = time.time()
-        calibrate(
-            wand_topk(index, hot_qdf, 10, block_max=bm, block_size=BLOCK_SIZE,
-                      terms_filter=hot_terms),
+
+        timings["query_hot_salted"] = best2(lambda: hot_exhaustive(True))
+        timings["query_hot_onephase"] = best2(lambda: hot_exhaustive(False))
+        timings["query_hot_term"] = best2(lambda: calibrate(
+            wand_topk(index, queries_to_df(spark, hot_wl), 10, block_max=bm,
+                      block_size=BLOCK_SIZE, terms_filter=hot_terms),
             index, 1.0, 0.5, 0.05,
-        ).count()
-        timings["query_hot_term"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        run_auto(hot_wl)
-        timings["query_hot_auto"] = round(time.time() - t0, 3)
+        ).count())
+        timings["query_hot_auto"] = best2(lambda: run_auto(hot_wl))
         log(f"[bench] hot-term workload (50 q, all containing '{top_term}', "
             f"df={index.term_stats.filter(F.col('term') == top_term).collect()[0]['df']}): "
             f"wand {timings['query_hot_term']}s, exhaustive salted "
@@ -402,6 +561,27 @@ def run_bench(cpus: int) -> dict:
         timings["ivf_build"] = round(time.time() - t0, 3)
         log(f"[bench] ivf_build: {timings['ivf_build']}s")
 
+        # recall@10 of the pruned IVF path per n_probe — parity tests
+        # prove the path matches its mirror; recall is how a user
+        # grades an ANN index (VERDICT r03 missing #2). 32 corpus
+        # vectors as queries against the same sf index.
+        from bayesian_bm25_js_spark.operators.similarity import ivf_recall
+
+        assigned, centroids = entry_mod._ivf(spark, SF_DIR)
+        rq = (
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .filter(F.col("vec_id") < 32)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qvec"))
+        )
+        t0 = time.time()
+        extras["ivf_recall"] = ivf_recall(
+            assigned, centroids, rq, k=10, n_probes=(1, 2, 4, 8)
+        )
+        timings["ivf_recall_eval"] = round(time.time() - t0, 3)
+        log(f"[bench] ivf_recall@10: {extras['ivf_recall']} "
+            f"({timings['ivf_recall_eval']}s)")
+
         for name in ["bm25_calibrated_topk", "bm25_wand_topk", "bm25_auto_topk",
                      "dense_probabilities",
                      "cosine_topk", "ivf_topk", "streaming_index_topk",
@@ -444,7 +624,9 @@ def run_bench(cpus: int) -> dict:
         "qps_pipelined": qps_pipe,
         "qps_wand": qps,
         "wand_blocks_kept_frac": blocks_kept_frac,
+        "router_floor_fitted": router_floor,
         "packed_size_ratio": packed_ratio,
+        "probes": probes,
         "cpu_s_build": round(cpu.get("build", 0.0), 1),
         "cpu_s_query_warm": round(cpu.get("query", 0.0) / 3, 1),
         "cpu_s_query_auto": round(cpu.get("query_auto", 0.0) / 3, 1),
@@ -509,6 +691,7 @@ def run_scaling() -> None:
                 BENCH_SKIP_SUITE="1",
                 BENCH_SKIP_PACKED="1",
                 BENCH_LEAN="1",
+                BENCH_PROBE="0",
                 # 8-12g is the sweet spot: bigger heaps anti-scale at 32
                 # threads in this VM (lazy page-fault storms on fresh
                 # young-gen pages).
@@ -640,4 +823,29 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     else:
-        print(json.dumps(run_bench(CPUS)))
+        result = run_bench(CPUS)
+        # same-day A/B vs last round's code: the only speed comparison
+        # that survives this VM's session-to-session throughput swings.
+        # Skipped in subprocess children and when git/rev is absent.
+        if os.environ.get("BENCH_SKIP_AB") != "1" and os.environ.get(
+            "BENCH_LEAN"
+        ) != "1":
+            result["ab_vs_prev"] = run_ab(PREV_ROUND_REV)
+        # sf1 scale rehearsal: same job at 10x files, fresh JVM. Ratios
+        # vs this run's own legs make slope breaks self-evident.
+        if os.environ.get("BENCH_SKIP_SF1") != "1" and os.environ.get(
+            "BENCH_LEAN"
+        ) != "1":
+            sf1 = run_sf1()
+            if "error" not in sf1 and sf1.get("files_per_sec"):
+                sf1["vs_sf01"] = {
+                    "files_per_sec_ratio": round(
+                        sf1["files_per_sec"] / result["files_per_sec"], 3
+                    ),
+                    "qps_ratio": round(
+                        sf1["qps_top10_calibrated"]
+                        / result["qps_top10_calibrated"], 3
+                    ),
+                }
+            result["sf1"] = sf1
+        print(json.dumps(result))

@@ -5,7 +5,15 @@ bench.py at local[N] with the Spark event log enabled, then aggregates
 per-stage wall time, executor task time, GC time, and shuffle volume
 from the event log. Prints a JSON report to stdout.
 
-Usage: python tools/profile_query.py [cpus] [n_files] [n_queries]
+Beyond per-stage metrics it reports the DRIVER-SERIAL residual of the
+warm query window: wall time not covered by any running stage (plan
+construction, AQE re-planning, job submission gaps, result fetch).
+That residual is the quantity the 8→32 scaling pair loses to — stages
+parallelize with cores, the residual does not.
+
+Usage: python tools/profile_query.py [cpus] [n_files] [n_queries] [mode]
+  mode: "exhaustive" (salted scorer, default) | "auto" (routed default
+  path — the scaling protocol's leg) | "wand"
 """
 
 from __future__ import annotations
@@ -22,6 +30,7 @@ def main() -> None:
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
     n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 150
+    mode = sys.argv[4] if len(sys.argv) > 4 else "exhaustive"
 
     log_dir = f"/tmp/spark-events-{cpus}-{os.getpid()}"
     os.makedirs(log_dir, exist_ok=True)
@@ -70,18 +79,46 @@ def main() -> None:
     index.postings.count()
     build_s = time.time() - t0
 
-    qdf = queries_to_df(spark, build_workload(n_queries))
+    workload = build_workload(n_queries)
+    qdf = queries_to_df(spark, workload)
 
-    def run_queries():
-        scores = score_queries(index, qdf)
-        out = calibrate(top_k(scores, 10), index, 1.0, 0.5, 0.05)
-        return out.count()
+    if mode in ("auto", "wand"):
+        from bayesian_bm25_js_spark.operators.compression import block_max_table
+        from bayesian_bm25_js_spark.operators.wand import auto_topk, wand_topk
+
+        bm = (
+            block_max_table(index, 128)
+            .repartition(max(cpus, 8), "term_id")
+            .sortWithinPartitions("term_id")
+            .persist()
+        )
+        bm.count()
+        terms = sorted({t for q in workload for t in q})
+
+        if mode == "auto":
+            def run_queries():
+                ranked = auto_topk(index, workload, 10, block_max=bm, block_size=128)
+                return calibrate(ranked, index, 1.0, 0.5, 0.05).count()
+        else:
+            def run_queries():
+                ranked = wand_topk(
+                    index, queries_to_df(spark, workload), 10,
+                    block_max=bm, block_size=128, terms_filter=terms,
+                )
+                return calibrate(ranked, index, 1.0, 0.5, 0.05).count()
+    else:
+        def run_queries():
+            scores = score_queries(index, qdf)
+            out = calibrate(top_k(scores, 10), index, 1.0, 0.5, 0.05)
+            return out.count()
 
     run_queries()  # cold
     spark.sparkContext.setJobGroup("warmquery", "warm query run")
     t0 = time.time()
+    warm_t0_ms = t0 * 1000.0
     run_queries()
     query_s = time.time() - t0
+    warm_t1_ms = warm_t0_ms + query_s * 1000.0
     spark.sparkContext.setJobGroup("", "")
 
     app_id = spark.sparkContext.applicationId
@@ -140,6 +177,8 @@ def main() -> None:
                         "n_tasks": si["Number of Tasks"],
                         "wall_ms": (si.get("Completion Time", 0) or 0)
                         - (si.get("Submission Time", 0) or 0),
+                        "_sub_ms": si.get("Submission Time") or 0,
+                        "_comp_ms": si.get("Completion Time") or 0,
                     }
                 elif et == "SparkListenerTaskEnd":
                     sid = ev["Stage ID"]
@@ -179,19 +218,52 @@ def main() -> None:
                         "Memory Bytes Spilled", 0
                     )
 
+    # driver-serial residual: warm wall not covered by any running stage
+    # (plan/analysis, AQE re-planning between shuffle stages, job submit
+    # gaps, result fetch). Stages parallelize with cores; this doesn't.
+    intervals = sorted(
+        (stages[sid]["_sub_ms"], stages[sid]["_comp_ms"])
+        for sid in warm_stage_ids
+        if sid in stages and stages[sid]["_comp_ms"] > stages[sid]["_sub_ms"]
+    )
+    covered = 0.0
+    cur_lo, cur_hi = None, None
+    for lo, hi in intervals:
+        lo, hi = max(lo, warm_t0_ms), min(hi, warm_t1_ms)
+        if hi <= lo:
+            continue
+        if cur_hi is None or lo > cur_hi:
+            if cur_hi is not None:
+                covered += cur_hi - cur_lo
+            cur_lo, cur_hi = lo, hi
+        else:
+            cur_hi = max(cur_hi, hi)
+    if cur_hi is not None:
+        covered += cur_hi - cur_lo
+    driver_gap_s = query_s - covered / 1000.0
+
     report = {
         "cpus": cpus,
+        "mode": mode,
         "n_files": n_files,
         "n_queries": n_queries,
         "build_s": round(build_s, 2),
         "warm_query_s": round(query_s, 2),
         "qps": round(n_queries / query_s, 2),
+        "warm_n_stages": len(intervals),
+        "stage_covered_s": round(covered / 1000.0, 2),
+        "driver_gap_s": round(driver_gap_s, 2),
+        "driver_gap_frac": round(driver_gap_s / query_s, 3) if query_s else None,
         "warm_stages": [],
     }
     for sid in sorted(warm_stage_ids):
         if sid not in stages:
             continue
-        row = {"stage": sid, **stages[sid], **stage_tasks.get(sid, {})}
+        row = {
+            "stage": sid,
+            **{k: v for k, v in stages[sid].items() if not k.startswith("_")},
+            **stage_tasks.get(sid, {}),
+        }
         report["warm_stages"].append(row)
     print(json.dumps(report, indent=1))
 
