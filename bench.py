@@ -231,7 +231,7 @@ def run_bench(cpus: int) -> dict:
     )
     from bayesian_bm25_js_spark.operators.tokenize import tokenize_column
     from bayesian_bm25_js_spark.operators.wand import auto_topk, wand_topk
-    from bayesian_bm25_js_spark.session import get_spark
+    from bayesian_bm25_js_spark.session import get_spark, query_mode
     from bayesian_bm25_js_spark.sources.corpus import synthesize_code_corpus
 
     # probes BEFORE the JVM exists (fork safety) — skipped in lean
@@ -268,12 +268,13 @@ def run_bench(cpus: int) -> dict:
         wq = build_workload(20)
         wqdf = queries_to_df(spark, wq)
         wterms = sorted({t for q in wq for t in q})
-        calibrate(
-            wand_topk(widx, wqdf, 10, block_max=wbm, block_size=BLOCK_SIZE,
-                      terms_filter=wterms),
-            widx, 1.0, 0.5, 0.05,
-        ).count()
-        calibrate(top_k(score_queries(widx, wqdf), 10), widx, 1.0, 0.5, 0.05).count()
+        with query_mode(spark):
+            calibrate(
+                wand_topk(widx, wqdf, 10, block_max=wbm, block_size=BLOCK_SIZE,
+                          terms_filter=wterms),
+                widx, 1.0, 0.5, 0.05,
+            ).count()
+            calibrate(top_k(score_queries(widx, wqdf), 10), widx, 1.0, 0.5, 0.05).count()
         widx.unpersist()
         wc.unpersist()
         log(f"[bench] warmup {time.time() - t0:.1f}s")
@@ -319,25 +320,32 @@ def run_bench(cpus: int) -> dict:
     terms = sorted({t for q in workload for t in q})
     qdf = queries_to_df(spark, workload)  # un-timed uses (stats leg)
 
+    # All query legs execute under query_mode (AQE off for the action:
+    # bounded intermediates + explicit salting leave AQE only its
+    # per-stage driver re-plan cost — profiled 19.6s -> 13.4s per
+    # routed 1000-query batch at local[32]). Builds above keep AQE.
     def run_wand():
-        ranked = wand_topk(
-            index, queries_to_df(spark, workload), 10, block_max=bm,
-            block_size=BLOCK_SIZE, terms_filter=terms,
-        )
-        return calibrate(ranked, index, 1.0, 0.5, 0.05).count()
+        with query_mode(spark):
+            ranked = wand_topk(
+                index, queries_to_df(spark, workload), 10, block_max=bm,
+                block_size=BLOCK_SIZE, terms_filter=terms,
+            )
+            return calibrate(ranked, index, 1.0, 0.5, 0.05).count()
 
     def run_exhaustive():
-        scores = score_queries(
-            index, queries_to_df(spark, workload), terms_filter=terms
-        )
-        return calibrate(top_k(scores, 10), index, 1.0, 0.5, 0.05).count()
+        with query_mode(spark):
+            scores = score_queries(
+                index, queries_to_df(spark, workload), terms_filter=terms
+            )
+            return calibrate(top_k(scores, 10), index, 1.0, 0.5, 0.05).count()
 
     def run_auto(wl):
         kw = {}
         if router_floor is not None:
             kw["min_prunable_postings"] = router_floor
-        ranked = auto_topk(index, wl, 10, block_max=bm, block_size=BLOCK_SIZE, **kw)
-        return calibrate(ranked, index, 1.0, 0.5, 0.05).count()
+        with query_mode(spark):
+            ranked = auto_topk(index, wl, 10, block_max=bm, block_size=BLOCK_SIZE, **kw)
+            return calibrate(ranked, index, 1.0, 0.5, 0.05).count()
 
     t0 = time.time()
     n_results = run_wand()
@@ -477,20 +485,26 @@ def run_bench(cpus: int) -> dict:
             return round(min(a), 3)
 
         def hot_exhaustive(two_phase):
-            hot_scores = score_queries(
-                index, queries_to_df(spark, hot_wl), terms_filter=hot_terms
-            )
-            calibrate(
-                top_k(hot_scores, 10, two_phase=two_phase), index, 1.0, 0.5, 0.05
-            ).count()
+            with query_mode(spark):
+                hot_scores = score_queries(
+                    index, queries_to_df(spark, hot_wl), terms_filter=hot_terms
+                )
+                calibrate(
+                    top_k(hot_scores, 10, two_phase=two_phase), index, 1.0, 0.5, 0.05
+                ).count()
 
         timings["query_hot_salted"] = best2(lambda: hot_exhaustive(True))
         timings["query_hot_onephase"] = best2(lambda: hot_exhaustive(False))
-        timings["query_hot_term"] = best2(lambda: calibrate(
-            wand_topk(index, queries_to_df(spark, hot_wl), 10, block_max=bm,
-                      block_size=BLOCK_SIZE, terms_filter=hot_terms),
-            index, 1.0, 0.5, 0.05,
-        ).count())
+        def hot_wand():
+            with query_mode(spark):
+                calibrate(
+                    wand_topk(index, queries_to_df(spark, hot_wl), 10,
+                              block_max=bm, block_size=BLOCK_SIZE,
+                              terms_filter=hot_terms),
+                    index, 1.0, 0.5, 0.05,
+                ).count()
+
+        timings["query_hot_term"] = best2(hot_wand)
         timings["query_hot_auto"] = best2(lambda: run_auto(hot_wl))
         log(f"[bench] hot-term workload (50 q, all containing '{top_term}', "
             f"df={index.term_stats.filter(F.col('term') == top_term).collect()[0]['df']}): "
@@ -530,10 +544,11 @@ def run_bench(cpus: int) -> dict:
         # terms_filter pushes the term In-predicate into the packed
         # parquet scan, so non-matching blocks are skipped BEFORE any
         # varint decode — the realistic packed query pattern
-        calibrate(
-            top_k(score_queries(pidx, small_qdf, terms_filter=small_terms), 10),
-            pidx, 1.0, 0.5, 0.05,
-        ).count()
+        with query_mode(spark):
+            calibrate(
+                top_k(score_queries(pidx, small_qdf, terms_filter=small_terms), 10),
+                pidx, 1.0, 0.5, 0.05,
+            ).count()
         timings["packed_query_50"] = round(time.time() - t0, 3)
         log(f"[bench] packed: write {timings['packed_write']}s, "
             f"packed/row size {packed_ratio}, 50-query scan {timings['packed_query_50']}s")

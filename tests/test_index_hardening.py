@@ -9,6 +9,8 @@ import pytest
 from tests.conftest import SMALL_CORPUS, docs_df
 from tests.oracle import OracleBM25
 
+from pyspark.sql import functions as F
+
 from bayesian_bm25_js_spark.functions.prng import mulberry32
 from bayesian_bm25_js_spark.operators.compression import (
     block_max_table,
@@ -402,3 +404,22 @@ def test_for_codec_roundtrip():
     assert blobs[1] == b"" and widths[4] == 1
     out = _for_decode_rows(blobs, mins, widths, lens)
     assert out.tolist() == flat.tolist()
+
+
+def test_query_mode_toggles_and_restores(spark):
+    from bayesian_bm25_js_spark.session import query_mode
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    with query_mode(spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        # an action planned inside the context runs without AQE
+        assert spark.range(10).groupBy((F.col("id") % 3).alias("g")).count().count() == 3
+    assert spark.conf.get("spark.sql.adaptive.enabled", "true") == prev
+
+    # the conf is restored even when the action raises
+    try:
+        with query_mode(spark):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.adaptive.enabled", "true") == prev

@@ -45,7 +45,8 @@ def main() -> None:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"profile-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled",
+                "false" if os.environ.get("SPARK_AQE") == "0" else "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
