@@ -168,6 +168,70 @@ def wand_thresholds(
     return tau
 
 
+def _fused_survivors(
+    block_max: DataFrame, query_terms: DataFrame, k: int
+) -> DataFrame:
+    """bounds → τ → surviving blocks in ONE shuffle + one Arrow pass.
+
+    Semantically identical to _bounds_and_tau + the ub ≥ τ − ε filter
+    (same two witness rules, same tie-breaks — see _bounds_and_tau's
+    docstring for the math), but fused into a single applyInPandas
+    keyed on query_id: the Catalyst formulation costs ~6 small stages
+    (bounds groupBy, two τ windows + three aggregations, the τ join)
+    whose walls are scheduling latency, not work — a fixed per-batch
+    tail that caps N→4N scaling (profiled: ~4s of the 13.4s routed
+    1000-query batch at local[32] sits in sub-second stages). Here the
+    per-query bounds/τ math is a few thousand NumPy rows — microseconds
+    per group — and the whole phase is one exchange.
+
+    Float caveat: pandas sums ub in a different order than Spark's
+    partial aggregation; differences are ≤ a few ulps (~1e-13 relative)
+    and ROUND_SLACK (1e-6, one ranking quantum) dwarfs them, so the
+    pruned ≡ exhaustive guarantee is unaffected (verified by the
+    wand-vs-exhaustive parity tests and the bm25_wand_topk oracle).
+    """
+    import pandas as pd
+
+    qt = query_terms
+    if "is_first" not in qt.columns:
+        w_first = Window.partitionBy("query_id", "term").orderBy("pos")
+        qt = qt.withColumn("is_first", F.row_number().over(w_first) == 1)
+    key, qt = _term_key(block_max, qt)
+    qb = block_max.join(
+        F.broadcast(qt.select("query_id", key, "is_first")), key
+    ).select("query_id", key, "block_id", "max_contrib", "min_contrib", "n", "is_first")
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        by_block = pdf.groupby("block_id")["max_contrib"]
+        ub = by_block.sum()  # duplicate query tokens double-count (bm25.ts:110)
+        taus = []
+        if len(ub) >= k:
+            lbs = by_block.max().to_numpy()
+            lbs.sort()
+            taus.append(float(lbs[-k]))  # rule 1: kth largest lb
+        first = pdf[pdf["is_first"]]
+        if len(first):
+            f = first.sort_values(
+                [key, "min_contrib", "block_id"], ascending=[True, False, True]
+            )
+            cum = f.groupby(key, sort=False)["n"].cumsum()
+            crossing = (cum >= k) & (cum - f["n"] < k)
+            if crossing.any():  # rule 2: best single-term count witness
+                taus.append(float(f.loc[crossing, "min_contrib"].max()))
+        tau = max(taus) if taus else float("-inf")
+        kept = ub[ub.to_numpy() >= tau - ROUND_SLACK]
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "block_id": kept.index.to_numpy(),
+            }
+        )
+
+    return qb.groupBy("query_id").applyInPandas(
+        kernel, "query_id long, block_id int"
+    )
+
+
 def route_queries(
     index: InvertedIndex,
     queries,
@@ -380,11 +444,19 @@ def wand_topk(
     if terms_filter is not None:
         block_max = _isin_key(block_max)
 
-    bounds, tau = _bounds_and_tau(block_max, query_terms, k)
-    keep = F.col("ub") >= F.col("tau") - F.lit(ROUND_SLACK)
-    surviving = (
-        bounds.join(tau, "query_id").filter(keep).select("query_id", "block_id")
-    )
+    import os
+
+    if return_stats or os.environ.get("WAND_FUSED") == "0":
+        # stats need the full bounds table; WAND_FUSED=0 forces the
+        # pure-Catalyst phases for A/B runs
+        bounds, tau = _bounds_and_tau(block_max, query_terms, k)
+        keep = F.col("ub") >= F.col("tau") - F.lit(ROUND_SLACK)
+        surviving = (
+            bounds.join(tau, "query_id").filter(keep).select("query_id", "block_id")
+        )
+    else:
+        # production path: one fused exchange instead of ~6 small stages
+        surviving = _fused_survivors(block_max, query_terms, k)
 
     contrib = index.tf_norm_column(F.col("tf"), F.col("dl")) * F.col("idf")
     qt = query_terms
