@@ -696,6 +696,8 @@ def run_scaling() -> None:
     log("[scaling] probing hardware ceilings (cpu + DRAM)...")
     hw_cpu = {c: _probe(_burn_cpu, c) for c in levels}
     hw_mem = {c: _probe(_burn_mem, c) for c in levels}
+    os.makedirs("BENCH", exist_ok=True)
+    open("BENCH/scaling_trials.jsonl", "w").close()  # one run per file
     for t in range(trials):
         for cpus in levels if t % 2 == 0 else reversed(levels):
             env = dict(
@@ -718,6 +720,16 @@ def run_scaling() -> None:
             line = out.stdout.strip().splitlines()[-1]
             r = json.loads(line)
             results[cpus].append(r)
+            # raw-trial persistence: the report is a pure function of
+            # these rows, so a crashed/edited report writer can replay
+            # them (tools/rewrite_scaling_report.py) without re-running
+            # ~40 min of trials.
+            os.makedirs("BENCH", exist_ok=True)
+            with open("BENCH/scaling_trials.jsonl", "a") as fh:
+                fh.write(json.dumps({"trial": t, "cpus": cpus, **r,
+                                     "hw_cpu": hw_cpu, "hw_mem": hw_mem,
+                                     "n_files": n_files,
+                                     "n_queries": n_queries}) + "\n")
             log(
                 f"[scaling] trial {t} local[{cpus}]: "
                 f"{r['files_per_sec']} f/s, {r['qps_top10_calibrated']} q/s, "
@@ -801,10 +813,12 @@ def _write_scaling_report(results, levels, hw_cpu, hw_mem, trials,
             f"tail), {n_queries}-query mixed hot/rare top-10 calibrated "
             "workload through the DEFAULT retrieve path (selectivity "
             "router, operators/wand.auto_topk — at this shape it routes "
-            "the batch through block-max WAND, measured 4x faster than "
-            "exhaustive here: 13.6s vs 54.7s), warm-median timing, "
-            "shuffle on tmpfs (spark.local.dir=/dev/shm; this VM's block "
-            "device serializes shuffle I/O).\n\n"
+            "the batch through block-max WAND; r2 measured WAND 4x "
+            "faster than exhaustive here), warm-median timing, query "
+            "actions under session.query_mode (AQE off — builds keep "
+            "it), fused bounds/τ/survivor kernel, shuffle on tmpfs "
+            "(spark.local.dir=/dev/shm; this VM's block device "
+            "serializes shuffle I/O).\n\n"
             "Index-build CPU totals: "
             + ", ".join(f"{cpu_b[c]:.0f}s at local[{c}]" for c in levels)
             + "\n\n**Batch-overlap A/B (negative result, kept off).** "
@@ -825,6 +839,50 @@ def _write_scaling_report(results, levels, hw_cpu, hw_mem, trials,
                 for i, r in enumerate(results[c])
             )
             + "\n```\n"
+            # measured vs engine-CPU cap: identical plan/partitioning/data
+            # at every level, so per-level executor-CPU totals bound what
+            # any scheduler could do: cap(lo->hi) = CPU_lo / CPU_hi (wall
+            # cannot beat total-CPU/slots).
+            + "\n## Measured vs ceiling (medians)\n\n"
+            "The engine runs the IDENTICAL plan, partitioning, and data at "
+            "every level — only the thread count varies — so the per-level "
+            "executor-CPU totals bound what any scheduler could achieve on "
+            "this box: cap(lo→hi) = CPU_lo / CPU_hi (wall cannot beat "
+            "total-CPU/slots).\n\n"
+            "| queries | " + " | ".join(f"{lo}→{hi}" for lo, hi in pairs) + " |\n"
+            "|---|" + "|".join(["---"] * len(pairs)) + "|\n"
+            "| measured efficiency | "
+            + " | ".join(f"{eff(q, lo, hi):.3f}" for lo, hi in pairs) + " |\n"
+            "| CPU-inflation cap | "
+            + " | ".join(
+                f"{cpu_q[lo] / cpu_q[hi]:.3f}" if cpu_q[hi] else "-"
+                for lo, hi in pairs
+            )
+            + " |\n| measured / cap | "
+            + " | ".join(
+                f"**{eff(q, lo, hi) / (cpu_q[lo] / cpu_q[hi]):.2f}**"
+                if cpu_q[hi] and cpu_q[lo] else "-"
+                for lo, hi in pairs
+            )
+            + " |\n| DRAM-ceiling probe (same box, same hour) | "
+            + " | ".join(f"{eff(hw_mem, lo, hi):.3f}" for lo, hi in pairs)
+            + " |\n\n| index build | "
+            + " | ".join(f"{lo}→{hi}" for lo, hi in pairs) + " |\n"
+            "|---|" + "|".join(["---"] * len(pairs)) + "|\n"
+            "| measured efficiency | "
+            + " | ".join(f"{eff(f, lo, hi):.3f}" for lo, hi in pairs) + " |\n"
+            "| CPU-inflation cap | "
+            + " | ".join(
+                f"{cpu_b[lo] / cpu_b[hi]:.3f}" if cpu_b[hi] else "-"
+                for lo, hi in pairs
+            )
+            + " |\n| measured / cap | "
+            + " | ".join(
+                f"**{eff(f, lo, hi) / (cpu_b[lo] / cpu_b[hi]):.2f}**"
+                if cpu_b[hi] and cpu_b[lo] else "-"
+                for lo, hi in pairs
+            )
+            + " |\n"
         )
     for lo, hi in pairs:
         log(

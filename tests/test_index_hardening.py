@@ -423,3 +423,40 @@ def test_query_mode_toggles_and_restores(spark):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.adaptive.enabled", "true") == prev
+
+
+def test_fused_survivors_matches_catalyst_phases(spark, rnd_index):
+    """The applyInPandas survivors kernel must keep exactly the blocks
+    the Catalyst bounds/tau phases keep — same witness rules, same
+    tie-breaks — for every query shape (hot, rare, mixed, duplicate
+    tokens, unknown terms, k larger than the candidate set)."""
+    from bayesian_bm25_js_spark.operators.compression import block_max_table
+    from bayesian_bm25_js_spark.operators.wand import (
+        ROUND_SLACK,
+        _bounds_and_tau,
+        _fused_survivors,
+    )
+
+    corpus, idx = rnd_index
+    queries = [
+        ["w0", "w1"],
+        ["w40", "w49"],
+        ["w0", "w45"],
+        ["w2", "w2", "w3"],
+        ["nope"],
+        ["w7"],
+    ]
+    bm = block_max_table(idx, 64)
+    qdf = queries_to_df(spark, queries)
+    for k in (1, 5, 100):
+        bounds, tau = _bounds_and_tau(bm, qdf, k)
+        keep = F.col("ub") >= F.col("tau") - F.lit(ROUND_SLACK)
+        catalyst = {
+            (r["query_id"], r["block_id"])
+            for r in bounds.join(tau, "query_id").filter(keep).collect()
+        }
+        fused = {
+            (r["query_id"], r["block_id"])
+            for r in _fused_survivors(bm, qdf, k).collect()
+        }
+        assert fused == catalyst, k
