@@ -123,6 +123,7 @@ def build_inverted_index(
     cache: bool = True,
     vocab_broadcast_threshold: int = 2_000_000,
     partition_by_doc: bool = True,
+    layout_partitions: int | None = None,
 ) -> InvertedIndex:
     """docs (doc_id, tokens array<string>) -> InvertedIndex.
 
@@ -130,6 +131,19 @@ def build_inverted_index(
     duplicates (bm25.ts:54), avgdl = total/n (bm25.ts:60), tf = exact
     per-(doc, term) count (bm25.ts:66-70), df = posting count
     (bm25.ts:82-84).
+
+    layout_partitions: partition count of the CACHED postings layout,
+    default max(4 x defaultParallelism, shuffle.partitions). This is
+    deliberately decoupled from spark.sql.shuffle.partitions: build
+    shuffles (tokenize explode -> tf agg) are cheapest at ~1 partition
+    per core, but the query-time scoring agg combines map-side over
+    the cache's partitions — one hash-map entry per (query, matched
+    doc) per partition — and needs ~4x finer grain so the per-task map
+    fits in unified memory at full thread count (measured: cores-sized
+    layout spilled ~10 GB per 1000-query/300k-doc batch at local[8]
+    AND local[32]; 128-way layout spilled 0, -26% query CPU, while
+    128-way build shuffles cost +18% build CPU — so the two knobs must
+    differ).
     """
     if method not in VALID_METHODS:
         raise ValueError(f"method must be one of {VALID_METHODS}, got {method!r}")
@@ -187,8 +201,9 @@ def build_inverted_index(
     #     instead of one per (query, doc, partition-of-term)
     #     (profiled: 107M partial rows -> 3.1M unique groups).
     if partition_by_doc:
-        n_part = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        n_part = layout_partitions or max(
+            4 * spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
         )
         # sortWithinPartitions("term"): cached columnar batches then
         # cover narrow term ranges, so a query-time

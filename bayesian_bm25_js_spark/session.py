@@ -23,6 +23,12 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
+    # ~1 shuffle partition per core: build-side shuffles (tokenize
+    # explode -> tf agg) are cheapest here (128 partitions at 32 cores
+    # measured +18% build CPU). The QUERY-side memory-pressure problem
+    # lives in the cached postings LAYOUT, which build_inverted_index
+    # partitions 4x finer independently of this knob (see its
+    # layout_partitions docstring for the spill math).
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
     # Shuffle spill dir: prefer tmpfs — this sandbox's block device
     # serializes shuffle I/O and destroys multi-core scaling. On a real

@@ -243,9 +243,16 @@ def run_bench(cpus: int) -> dict:
 
     log_dir = f"/tmp/bench-events-{os.getpid()}"
     os.makedirs(log_dir, exist_ok=True)
+    # Two partition knobs, BOTH held constant across the scaling sweep
+    # (the cap argument wants identical physical plans at every level):
+    # shuffle partitions 32 (build shuffles are cheapest near one
+    # partition per core; 128 cost +18% build CPU at local[32]) and
+    # cache LAYOUT partitions 128 (the scoring agg combines map-side
+    # over the postings cache's partitions and spills ~10 GB/batch when
+    # the layout is cores-sized — see build_inverted_index).
     spark = get_spark(
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
+        shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE_PARTS", "32")),
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
@@ -290,11 +297,14 @@ def run_bench(cpus: int) -> dict:
     sc.setJobGroup("build", "index build")
     t0 = time.time()
     docs = corpus.select("doc_id", tokenize_column(F.col("content")).alias("tokens"))
-    index = build_inverted_index(docs, k1=1.2, b=0.75, method="lucene")
+    index = build_inverted_index(
+        docs, k1=1.2, b=0.75, method="lucene",
+        layout_partitions=int(os.environ.get("BENCH_LAYOUT_PARTS", "128")),
+    )
     n_postings = index.postings.count()
     bm = (
         block_max_table(index, BLOCK_SIZE)
-        .repartition(max(cpus, 8), "term_id")
+        .repartition(int(os.environ.get("BENCH_LAYOUT_PARTS", "128")), "term_id")
         .sortWithinPartitions("term_id")
         .persist()
     )
@@ -805,9 +815,14 @@ def _write_scaling_report(results, levels, hw_cpu, hw_mem, trials,
             + ", ".join(f"{cpu_q[c]:.0f}s at local[{c}]" for c in levels)
             + " — the work itself inflates as cores contend for DRAM (the "
             "probes show the same inflation), while stage walls stay at "
-            "(total CPU)/(slots). Scheduling/skew overhead was eliminated by "
-            "doc_id-partitioned postings + term_id-sorted caches (no "
-            "straggler: max task ≈ mean task; see tools/profile_query.py).\n\n"
+            "(total CPU)/(slots). Both partition knobs are level-invariant — "
+            "shuffle partitions 32, cached postings/block-max LAYOUT 128-way "
+            "doc_id/term_id — so every level runs the identical physical "
+            "plan (the cap comparison requires it). The 4x-finer cache "
+            "layout keeps the scoring agg's per-task combine map small "
+            "enough to never spill (cores-sized layout spilled ~10 GB/batch "
+            "at 8 AND 32 threads, +96% stage CPU; build shuffles stay at 32 "
+            "partitions — 128 cost +18% build CPU; tools/profile_query.py).\n\n"
             f"Corpus: {n_files} synthetic code files (sources/corpus.py, "
             f"north-rule shape: Zipf-head keywords + 50k-identifier long "
             f"tail), {n_queries}-query mixed hot/rare top-10 calibrated "

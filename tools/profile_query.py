@@ -44,7 +44,8 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"profile-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_SHUFFLE_PARTS", "32"))
         .config("spark.sql.adaptive.enabled",
                 "false" if os.environ.get("SPARK_AQE") == "0" else "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -76,7 +77,10 @@ def main() -> None:
     docs = corpus.select("doc_id", tokenize_column(F.col("content")).alias("tokens"))
 
     t0 = time.time()
-    index = build_inverted_index(docs, k1=1.2, b=0.75, method="lucene")
+    index = build_inverted_index(
+        docs, k1=1.2, b=0.75, method="lucene",
+        layout_partitions=int(os.environ.get("SPARK_LAYOUT_PARTS", "128")),
+    )
     index.postings.count()
     build_s = time.time() - t0
 
@@ -89,7 +93,7 @@ def main() -> None:
 
         bm = (
             block_max_table(index, 128)
-            .repartition(max(cpus, 8), "term_id")
+            .repartition(int(os.environ.get("SPARK_LAYOUT_PARTS", "128")), "term_id")
             .sortWithinPartitions("term_id")
             .persist()
         )
