@@ -218,7 +218,20 @@ class BayesianBM25SparkScorer:
                 block_max_table,
             )
 
-            self._block_max = block_max_table(self._index).persist()
+            spark = self._index.spark
+            # term_id-partitioned + sorted cache layout: query-time
+            # bounds joins filter on term_id, and the sorted columnar
+            # batches let the In-filter skip whole batches via
+            # in-memory stats (same layout rule as the bench harness);
+            # 4x-parallelism grain mirrors the postings layout rule
+            # (see build_inverted_index.layout_partitions).
+            n_part = max(4 * spark.sparkContext.defaultParallelism, 32)
+            self._block_max = (
+                block_max_table(self._index)
+                .repartition(n_part, "term_id")
+                .sortWithinPartitions("term_id")
+                .persist()
+            )
         return self._block_max
 
     def retrieve(

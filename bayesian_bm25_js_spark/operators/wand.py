@@ -464,6 +464,18 @@ def wand_topk(
         qt = qt.withColumn("is_first", F.lit(True))
 
     postings = index.postings
+    # Per-term idf rides the broadcast side (vocab-sized join on the
+    # tiny query-terms DF) so the corpus-sized postings scan never
+    # decompresses its denormalized idf column — same rationale and
+    # packed-layout carve-out as score_queries.
+    carry_idf = (
+        "idf" in postings.columns
+        and index.term_stats is not None
+        and not getattr(index, "push_string_filter", False)
+    )
+    if carry_idf:
+        qt = qt.join(index.term_stats.select("term", "idf"), "term")
+        postings = postings.drop("idf")
     join_key = "term"
     if "term_id" in postings.columns:
         join_key = "term_id"
@@ -480,7 +492,8 @@ def wand_topk(
     # batch). Broadcasting keeps postings doc_id-partitioned -> full
     # map-side combining of the score aggregation.
     qt_blocks = qt.join(surviving, "query_id").select(
-        "query_id", "pos", "is_first", join_key, "block_id"
+        "query_id", "pos", "is_first", join_key, "block_id",
+        *(["idf"] if carry_idf else []),
     )
     if broadcast_survivors:
         qt_blocks = F.broadcast(qt_blocks)
