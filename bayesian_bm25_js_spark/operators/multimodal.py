@@ -3,12 +3,12 @@
 Images/audio/video ride as `binary` columns with a metadata struct;
 decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched `mapInPandas` stages. Real decoding dispatches on the
-payload's container format: binary PPM (P6) images and RIFF/WAVE
-PCM16 audio have built-in pure-NumPy decoders (runnable in this
-container — no image/audio libs needed); PNG/JPEG/etc. use PIL when
-importable (checked executor-side with a clear error naming pillow);
-compressed audio (librosa) and video (av) decoders are NOT integrated
-and raise per-row. The default deterministic fake decoder hashes the
+payload's container format: binary PPM (P6) images, RIFF/WAVE PCM16
+audio, and YUV4MPEG2 (Y4M) video have built-in pure-NumPy decoders
+(runnable in this container — no image/audio/video libs needed);
+PNG/JPEG/etc. use PIL when importable (checked executor-side with a
+clear error naming pillow); compressed audio (librosa) and compressed
+video (av) decoders are NOT integrated and raise per-row. The default deterministic fake decoder hashes the
 payload into a fixed-shape feature vector so the Spark-side plumbing —
 schema, batch shape, partitioning — is testable independent of codecs.
 
@@ -152,6 +152,59 @@ def decode_wav(payload: bytes) -> np.ndarray:
     raise ValueError("WAVE payload has no data chunk")
 
 
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n_frames, h, w) uint8 luma -> YUV4MPEG2 (Cmono). The simplest
+    uncompressed video container (mpv/ffmpeg read it); completes the
+    image(PPM)/audio(WAV)/video(Y4M) pure-NumPy decoder triple so the
+    real media path is executable per-modality without av/ffmpeg."""
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 3:
+        raise ValueError(f"expected (n_frames, h, w) luma frames, got {arr.shape}")
+    n, h, w = arr.shape
+    head = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 Cmono\n" % (w, h, fps)
+    return head + b"".join(b"FRAME\n" + arr[i].tobytes() for i in range(n))
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """YUV4MPEG2 -> (n_frames, h, w) uint8 luma planes. Pure NumPy
+    stream walk; Cmono and C420* (luma plane read, chroma skipped)
+    supported — the colorspaces ffmpeg emits by default."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    chroma = b"420"
+    for tok in payload[9:nl].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            chroma = tok[1:]
+    if not w or not h:
+        raise ValueError("YUV4MPEG2 header missing W/H")
+    if chroma.startswith(b"mono"):
+        frame_bytes, luma_bytes = w * h, w * h
+    elif chroma.startswith(b"420"):
+        frame_bytes, luma_bytes = w * h + 2 * ((w // 2) * (h // 2)), w * h
+    elif chroma.startswith(b"444"):
+        frame_bytes, luma_bytes = 3 * w * h, w * h
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{chroma.decode()}")
+    frames, pos, n = [], nl + 1, len(payload)
+    while pos < n:
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M FRAME marker")
+        start = fnl + 1
+        if start + frame_bytes > n:
+            raise ValueError("truncated Y4M frame data")
+        luma = np.frombuffer(payload, dtype=np.uint8, count=luma_bytes, offset=start)
+        frames.append(luma.reshape(h, w))
+        pos = start + frame_bytes
+    return np.stack(frames) if frames else np.empty((0, h, w), dtype=np.uint8)
+
+
 def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for a real decoder: sha256-seeded feature
     vector in [-1, 1]. Replaces image/audio lib output in this container."""
@@ -171,11 +224,13 @@ def extract_features(
     the path runs in this container); other image formats (PNG/JPEG/…)
     need PIL and raise a clear NotImplementedError naming pillow when
     it is absent (checked on the EXECUTOR, where the decode actually
-    runs); compressed audio and video decoders (librosa/av) are not
+    runs); YUV4MPEG2 video decodes with the built-in pure-NumPy Y4M
+    reader; compressed audio/video decoders (librosa/av) are not
     integrated and raise per-row. Features: images -> FEATURE_DIM-bin
     normalized grayscale histogram (integer ITU-R 601-2 luma, matching
     PIL convert("L")); audio -> FEATURE_DIM-bin normalized amplitude
-    histogram over the int16 range."""
+    histogram over the int16 range; video -> FEATURE_DIM-bin normalized
+    luma histogram pooled over all frames."""
     if decode not in ("fake", "real"):
         raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
 
@@ -244,8 +299,17 @@ def _real_decode_features(payload: bytes, modality: str, dim: int = FEATURE_DIM)
             "real decode for compressed audio is not integrated "
             "(librosa); RIFF/WAVE PCM16 payloads only"
         )
+    if modality == "video":
+        if payload[:9] == b"YUV4MPEG2":
+            frames = decode_y4m(bytes(payload))
+            hist = np.bincount(frames.ravel(), minlength=256)[:256]
+            return _hist_features(hist, dim)
+        raise NotImplementedError(
+            "real decode for compressed video is not integrated (av); "
+            "YUV4MPEG2 payloads only"
+        )
     raise NotImplementedError(
-        f"real decode for modality {modality!r} is not integrated (av)"
+        f"real decode for modality {modality!r} is not integrated"
     )
 
 

@@ -416,3 +416,56 @@ def test_real_decode_unintegrated_formats_error_clearly(spark):
     )
     with pytest.raises(Exception, match="not integrated"):
         extract_features(video, decode="real").collect()
+
+
+def test_real_decode_y4m_video_runs_in_container(spark):
+    """Video completes the pure-NumPy modality triple: YUV4MPEG2
+    payloads decode end-to-end through mapInPandas with no av/ffmpeg,
+    and the feature is the luma histogram pooled over frames."""
+    import numpy as np
+
+    from bayesian_bm25_js_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_y4m,
+        encode_y4m,
+        extract_features,
+    )
+
+    # codec roundtrip (mono) + C420 luma extraction with chroma skip
+    frames = (np.arange(3 * 6 * 4, dtype=np.uint8).reshape(3, 6, 4) * 11) % 256
+    assert (decode_y4m(encode_y4m(frames)) == frames).all()
+    w, h = 4, 6
+    head = b"YUV4MPEG2 W4 H6 F25:1 Ip A1:1 C420jpeg\n"
+    luma = np.full((h, w), 200, dtype=np.uint8)
+    chroma = bytes((w // 2) * (h // 2) * 2)
+    payload_420 = head + b"FRAME\n" + luma.tobytes() + chroma
+    got = decode_y4m(payload_420)
+    assert got.shape == (1, h, w) and (got == 200).all()
+
+    black = np.zeros((2, 8, 8), dtype=np.uint8)
+    white = np.full((1, 4, 4), 255, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (0, "video", bytearray(encode_y4m(black)), (8, 8, 0, 2)),
+            (1, "video", bytearray(encode_y4m(white)), (4, 4, 0, 1)),
+            (2, "video", bytearray(payload_420), (4, 6, 0, 1)),
+        ],
+        "doc_id long, modality string, data binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    feats = {r["doc_id"]: r["feature"]
+             for r in extract_features(media, decode="real").collect()}
+    assert feats[0][0] == 1.0 and sum(feats[0]) == 1.0  # all-black luma
+    assert feats[1][-1] == 1.0                          # all-white luma
+    # luma 200 -> 256-bin 200 -> feature bin 200 // (256 // dim)
+    assert feats[2][200 // (256 // FEATURE_DIM)] == 1.0
+
+    # non-Y4M video payloads still raise the clear per-row error
+    import pytest as _pytest
+    bad = spark.createDataFrame(
+        [(9, "video", bytearray(b"\x00\x00\x00 ftypmp42"), (0, 0, 0, 1))],
+        "doc_id long, modality string, data binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    with _pytest.raises(Exception, match="YUV4MPEG2|not integrated"):
+        extract_features(bad, decode="real").collect()
