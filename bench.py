@@ -132,6 +132,9 @@ def run_ab(prev_rev: str, trials: int = 2) -> dict:
 
     wt = f"/tmp/bench-ab-{prev_rev}"
     shutil.rmtree(wt, ignore_errors=True)
+    # a killed earlier run can leave the path registered but missing
+    # ("already registered worktree"); prune before adding
+    subprocess.run(["git", "worktree", "prune"], capture_output=True)
     rc = subprocess.run(
         ["git", "-C", os.path.dirname(os.path.abspath(__file__)) or ".",
          "worktree", "add", "--detach", wt, prev_rev],
