@@ -143,7 +143,12 @@ def build_inverted_index(
     layout spilled ~10 GB per 1000-query/300k-doc batch at local[8]
     AND local[32]; 128-way layout spilled 0, -26% query CPU, while
     128-way build shuffles cost +18% build CPU — so the two knobs must
-    differ).
+    differ). Combine state also grows with query-batch WIDTH (one
+    entry per (query, matched doc) per partition): when batches wider
+    than ~2000 queries are expected, size layout_partitions at
+    >= width x n_docs x 64B / (unified-memory-per-core) — see
+    tools/width_sweep.py for the measured throughput-vs-width curve
+    and its spill cliff.
     """
     if method not in VALID_METHODS:
         raise ValueError(f"method must be one of {VALID_METHODS}, got {method!r}")
