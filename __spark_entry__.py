@@ -679,6 +679,28 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: deterministic PPM/WAV/Y4M payloads
+    (multimodal.synthesize_real_media) decoded by the pure-NumPy codecs
+    inside mapInPandas; oracle = golden parquet recomputed by an
+    independent NumPy mirror straight from the source arrays
+    (tools/make_golden.py:media_real_golden — no codec involved)."""
+    from bayesian_bm25_js_spark.operators.multimodal import (
+        extract_features,
+        synthesize_real_media,
+    )
+
+    feats = extract_features(synthesize_real_media(spark, 48), decode="real")
+    return feats.select(
+        "doc_id",
+        "modality",
+        F.round(F.element_at("feature", 1), 6).alias("f0_r"),
+        F.round(F.element_at("feature", 8), 6).alias("f7_r"),
+        F.round(F.element_at("feature", 16), 6).alias("f15_r"),
+        F.size("feature").alias("dim"),
+    ).orderBy("doc_id")
+
+
 def q_multi_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-field fused retrieval (multi_field.ts:27-208) end-to-end:
     two fields derived from documents.text (title = first 5 tokens,
@@ -858,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "media_features": q_media_features,
+        "media_features_real": q_media_features_real,
         "multi_field_topk": q_multi_field_topk,
         "temporal_weights": q_temporal_weights,
         "fusion_by_user": q_fusion_by_user,
@@ -1117,6 +1140,11 @@ def oracle_sql() -> dict[str, str]:
         "media_features": """
             SELECT doc_id, modality, f0_r, dim
             FROM read_parquet('/root/repo/tests/golden/media_features.parquet')
+            ORDER BY doc_id
+        """,
+        "media_features_real": """
+            SELECT doc_id, modality, f0_r, f7_r, f15_r, dim
+            FROM read_parquet('/root/repo/tests/golden/media_features_real.parquet')
             ORDER BY doc_id
         """,
         "dense_probabilities": f"""

@@ -349,6 +349,34 @@ def synthesize_media(spark, n_rows: int = 64) -> DataFrame:
     )
 
 
+def synthesize_real_media(spark, n_rows: int = 48) -> DataFrame:
+    """Deterministic DECODABLE media table: binary PPM images, RIFF/WAVE
+    PCM16 audio and YUV4MPEG2 video whose pixel/sample/luma arrays are
+    pure integer functions of doc_id — so an independent NumPy mirror
+    (tools/make_golden.py) can recompute the expected real-decode
+    features without running any of this module's codecs."""
+    rows = []
+    for i in range(n_rows):
+        m = i % 3
+        if m == 0:
+            y, x, c = np.ogrid[0:6, 0:8, 0:3]
+            rgb = ((i * 31 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
+            rows.append((i, "image", bytearray(encode_ppm(rgb)), (8, 6, 0, 0)))
+        elif m == 1:
+            j = np.arange(128)
+            samples = (((i * 97 + j * 53) % 65536) - 32768).astype(np.int16)
+            rows.append((i, "audio", bytearray(encode_wav(samples)), (0, 0, 16000, 0)))
+        else:
+            f, y, x = np.ogrid[0:2, 0:6, 0:4]
+            luma = ((i * 13 + f * 29 + y * 5 + x * 17) % 256).astype(np.uint8)
+            rows.append((i, "video", bytearray(encode_y4m(luma)), (4, 6, 0, 2)))
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, modality string, data binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+
+
 def resize_images(
     media: DataFrame,
     width: int,

@@ -152,6 +152,52 @@ def media_golden(n_rows=64, dim=16):
     return out
 
 
+def media_real_golden(n_rows=48, dim=16):
+    """Independent recomputation of the REAL-decode feature pipeline
+    over multimodal.synthesize_real_media's deterministic payloads.
+    The pixel/sample/luma arrays are pure integer functions of doc_id
+    (mirrored here from the synthesizer's formulas); features are
+    recomputed straight from the arrays — no PPM/WAV/Y4M codec runs in
+    this file, so a codec bug cannot cancel out of the comparison."""
+
+    def hist_feats(hist256):
+        binned = hist256.astype(np.float64).reshape(dim, 256 // dim).sum(axis=1)
+        total = binned.sum()
+        return binned / total if total > 0 else binned
+
+    out = []
+    for i in range(n_rows):
+        m = i % 3
+        if m == 0:
+            y, x, c = np.ogrid[0:6, 0:8, 0:3]
+            rgb = ((i * 31 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint32)
+            luma = (rgb[..., 0] * 299 + rgb[..., 1] * 587 + rgb[..., 2] * 114) // 1000
+            feat = hist_feats(np.bincount(luma.ravel(), minlength=256))
+            modality = "image"
+        elif m == 1:
+            j = np.arange(128)
+            samples = (((i * 97 + j * 53) % 65536) - 32768).astype(np.int64)
+            bins = ((samples + 32768) * 256) // 65536
+            feat = hist_feats(np.bincount(bins, minlength=256))
+            modality = "audio"
+        else:
+            f, y, x = np.ogrid[0:2, 0:6, 0:4]
+            luma = ((i * 13 + f * 29 + y * 5 + x * 17) % 256).astype(np.uint8)
+            feat = hist_feats(np.bincount(luma.ravel(), minlength=256)[:256])
+            modality = "video"
+        out.append(
+            (
+                i,
+                modality,
+                round_half_up(float(feat[0])),
+                round_half_up(float(feat[7])),
+                round_half_up(float(feat[15])),
+                dim,
+            )
+        )
+    return out
+
+
 def _seq_dot(a, b) -> float:
     """Left-to-right float64 dot — mirrors the engine's zip_with +
     aggregate accumulation order (similarity._dot), not NumPy's
@@ -270,6 +316,22 @@ def main() -> None:
         os.path.join(GOLDEN_DIR, "media_features.parquet"),
     )
     print(f"media_features: {len(md)} rows")
+
+    mr = media_real_golden()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in mr], pa.int64()),
+                "modality": pa.array([r[1] for r in mr], pa.string()),
+                "f0_r": pa.array([r[2] for r in mr], pa.float64()),
+                "f7_r": pa.array([r[3] for r in mr], pa.float64()),
+                "f15_r": pa.array([r[4] for r in mr], pa.float64()),
+                "dim": pa.array([r[5] for r in mr], pa.int32()),
+            }
+        ),
+        os.path.join(GOLDEN_DIR, "media_features_real.parquet"),
+    )
+    print(f"media_features_real: {len(mr)} rows")
 
     iv = ivf_probe_golden(sf_dir)
     pq.write_table(
