@@ -258,6 +258,14 @@ class BayesianBM25SparkScorer:
         all three strategies are rank-identical under the 6-dp policy).
         "wand" / "exhaustive" force one path. dense=True implies
         exhaustive (pruning cannot zero-fill).
+
+        Batch width: throughput rises with queries-per-call (the
+        per-batch plan/broadcast cost amortizes) until the scoring
+        agg's combine state — width x docs / layout partition — blows
+        past task memory (~2000 queries at the default 128-way layout,
+        300k docs, 32 threads; measured curve in tools/width_sweep.py).
+        For wider standing batches, size the index build's
+        layout_partitions up (see build_inverted_index).
         """
         self._ensure_indexed()
         if strategy not in ("auto", "wand", "exhaustive"):

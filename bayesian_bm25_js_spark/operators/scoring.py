@@ -155,7 +155,12 @@ def score_queries(
         and not getattr(index, "push_string_filter", False)
     )
     if carry_idf:
-        qt = qt.join(index.term_stats.select("term", "idf"), "term")
+        # hint-broadcast the tiny query side: at 100M+ vocab the
+        # static planner must never pick a sort-merge join that
+        # shuffles term_stats per batch
+        qt = F.broadcast(qt).join(
+            index.term_stats.select("term", "idf"), "term"
+        )
         postings = postings.drop("idf")
     join_key = "term"
     if (

@@ -702,7 +702,14 @@ def run_scaling() -> None:
     (contended, virtualized) box itself delivers."""
     trials = int(os.environ.get("SCALING_TRIALS", "3"))
     n_files = os.environ.get("BENCH_FILES", "300000")
-    n_queries = os.environ.get("BENCH_QUERIES", "1000")
+    # 2000-wide batches: the engine's saturating operating point at the
+    # default 128-way layout (tools/width_sweep.py — throughput rises
+    # with width as per-batch plan/broadcast cost amortizes, then falls
+    # off an agg-spill cliff at ~4000). The SAME width runs at every
+    # level, so the comparison stays same-job-at-both-sizes; the width
+    # annex in BASELINE.md reports the full per-width curve including
+    # the historical 1000-wide protocol point.
+    n_queries = os.environ.get("BENCH_QUERIES", "2000")
     levels = [int(x) for x in os.environ.get("SCALING_LEVELS", "2,8,32").split(",")]
     results: dict[int, list[dict]] = {c: [] for c in levels}
     # probes up front so every incremental report has them
