@@ -44,5 +44,26 @@ def read_schema(df: DataFrame) -> str:
     return m.group(1) if m else ""
 
 
+def inmemory_scan_columns(df: DataFrame) -> list:
+    """Column-name sets of the InMemoryTableScan LEAVES of the executed
+    plan. Unlike regexing the printed tree, this excludes the cached
+    relations' definition subtrees (printed for provenance but not
+    re-executed per query)."""
+    plan = df._jdf.queryExecution().executedPlan()
+    # AQE wraps the plan in AdaptiveSparkPlanExec, itself a leaf node —
+    # unwrap to the current physical plan underneath
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.initialPlan()
+    leaves = plan.collectLeaves()
+    out = []
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.nodeName() != "InMemoryTableScan":
+            continue
+        attrs = leaf.output()
+        out.append({attrs.apply(j).name() for j in range(attrs.size())})
+    return out
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan_string(df))))

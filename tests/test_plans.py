@@ -5,6 +5,8 @@ pushdown into parquet scans, column pruning, bounded shuffle counts,
 and two-phase top-k equivalence.
 """
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -156,3 +158,34 @@ def test_packed_query_path_has_no_doc_stats_join(spark, idx, tmp_path):
     plan = plan_string(scores)
     assert "doc_stats" not in plan, plan
     assert "term_stats" in plan, plan
+
+
+def test_postings_scan_excludes_idf(spark, idx):
+    """idf rides the broadcast query side (vocab-sized term_stats
+    lookup), so the corpus-sized postings cache scan must not
+    decompress its denormalized idf column — ~8 bytes/row of DRAM
+    traffic in the stage that dominates query CPU. Inspects the
+    EXECUTED plan's scan leaves (the cached relations' definition
+    subtrees legitimately read idf but do not re-execute per query)."""
+    from bayesian_bm25_js_spark.plans.audit import inmemory_scan_columns
+
+    scores = score_queries(idx, queries_to_df(spark, [["cat", "dog"]]))
+    scans = [c for c in inmemory_scan_columns(scores) if "tf" in c]
+    assert scans, "no postings InMemoryTableScan found in plan"
+    for names in scans:
+        assert "idf" not in names, names
+
+    from bayesian_bm25_js_spark.operators.compression import block_max_table
+    from bayesian_bm25_js_spark.operators.wand import wand_topk
+
+    # persist block-max as production does: its BUILD legitimately
+    # reads idf (max_contrib); cached, the wand plan's only postings
+    # scan is the scoring join side, which must be idf-free
+    bm = block_max_table(idx, 16).persist()
+    bm.count()
+    ranked = wand_topk(idx, queries_to_df(spark, [["cat", "dog"]]), 3, block_max=bm)
+    wscans = [c for c in inmemory_scan_columns(ranked) if "tf" in c]
+    bm.unpersist()
+    assert wscans, "no postings InMemoryTableScan found in wand plan"
+    for names in wscans:
+        assert "idf" not in names, names
