@@ -45,6 +45,22 @@ BLOCK_SIZE = 128
 BLOCK_TERMS = ["spark", "table", "join", "window"]
 _BLOCK_TERMS_SQL = ", ".join(f"'{t}'" for t in BLOCK_TERMS)
 
+# Exact-phrase workload (engine addition; reference is bag-of-words).
+# Mix of common 2-term phrases, a rare 3-term phrase, and a
+# duplicate-term phrase (both slots pivot the same position array).
+PHRASE_SET = [
+    ["hash", "join"],
+    ["table", "scan"],
+    ["window", "agg"],
+    ["value", "table", "part"],
+    ["table", "table"],
+]
+_PHRASE_VALUES_SQL = ", ".join(
+    f"({qid}, {slot}, '{term}')"
+    for qid, phrase in enumerate(PHRASE_SET)
+    for slot, term in enumerate(phrase)
+)
+
 
 # ---------------------------------------------------------------------------
 # shared Spark-side builders
@@ -142,6 +158,32 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores, _ = _scored(spark, sf_dir)
     return _ranked_topk(scores).select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score_r")
+    ).orderBy("query_id", "rank")
+
+
+_PIDX_CACHE: dict = {}
+
+
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase BM25 top-k over the positional index
+    (operators/phrase.py — engine addition, no reference counterpart:
+    bm25.ts:52-148 keeps no positions). Oracle: DuckDB recomputes
+    positions via parallel unnest, counts full-slot phrase starts, and
+    scores the phrase as a pseudo-term with the same lucene idf."""
+    from bayesian_bm25_js_spark.operators.phrase import (
+        build_positional_index,
+        phrase_topk,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _PIDX_CACHE:
+        _PIDX_CACHE[key] = build_positional_index(
+            _docs(spark, sf_dir), k1=K1, b=B, method="lucene"
+        )
+    out = phrase_topk(_PIDX_CACHE[key], PHRASE_SET, k=TOPK)
+    return out.select(
+        "query_id", "rank", "doc_id", "tf",
+        F.round("score", 6).alias("score_r"),
     ).orderBy("query_id", "rank")
 
 
@@ -857,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": q_term_stats,
         "postings": q_postings,
         "bm25_topk": q_bm25_topk,
+        "phrase_topk": q_phrase_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_auto_topk": q_bm25_auto_topk,
         "streaming_index_topk": q_streaming_index_topk,
@@ -1059,6 +1102,62 @@ def oracle_sql() -> dict[str, str]:
             WITH {_BM25_CTES}
             SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score_r
             FROM ranked WHERE rank <= {TOPK}
+            ORDER BY query_id, rank
+        """,
+        "phrase_topk": f"""
+            WITH pbase AS (SELECT doc_id, {_TOK_LIST} AS toks FROM documents),
+            ptoksp AS (
+              SELECT doc_id, unnest(toks) AS term,
+                     unnest(range(len(toks))) AS pos
+              FROM pbase
+            ),
+            pds AS (SELECT doc_id, len(toks)::INT AS dl FROM pbase),
+            pconsts AS (
+              SELECT count(*)::DOUBLE AS n_docs,
+                     sum(dl)::DOUBLE / count(*) AS avgdl
+              FROM pds
+            ),
+            pq(query_id, slot, term) AS (VALUES {_PHRASE_VALUES_SQL}),
+            pplen AS (SELECT query_id, count(*)::INT AS plen
+                      FROM pq GROUP BY query_id),
+            phits AS (
+              SELECT pq.query_id, pq.slot, tp.doc_id,
+                     tp.pos - pq.slot AS start
+              FROM pq JOIN ptoksp tp USING (term)
+            ),
+            poccs AS (
+              SELECT query_id, doc_id, start, count(*) AS nslots
+              FROM phits GROUP BY query_id, doc_id, start
+            ),
+            ptf AS (
+              SELECT o.query_id, o.doc_id, count(*)::INT AS tf
+              FROM poccs o JOIN pplen p USING (query_id)
+              WHERE o.nslots = p.plen
+              GROUP BY o.query_id, o.doc_id
+            ),
+            pdfs AS (SELECT query_id, count(*) AS pdf FROM ptf GROUP BY query_id),
+            pscored AS (
+              SELECT t.query_id, t.doc_id, t.tf,
+                     ln(1.0 + ((SELECT n_docs FROM pconsts) - s.pdf + 0.5)
+                              / (s.pdf + 0.5))
+                     * (t.tf * ({K1} + 1.0))
+                       / (t.tf + {K1} * (1.0 - {B}
+                          + {B} * ds.dl / (SELECT avgdl FROM pconsts))) AS score
+              FROM ptf t
+              JOIN pdfs s USING (query_id)
+              JOIN pds ds USING (doc_id)
+            ),
+            pranked AS (
+              SELECT query_id, doc_id, tf, score,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(score, 6) DESC, doc_id ASC
+                     ) AS rank
+              FROM pscored
+            )
+            SELECT query_id, rank::INT AS rank, doc_id, tf,
+                   round(score, 6) AS score_r
+            FROM pranked WHERE rank <= {TOPK}
             ORDER BY query_id, rank
         """,
         "bm25_calibrated_topk": f"""

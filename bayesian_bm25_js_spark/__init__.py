@@ -80,4 +80,8 @@ def __getattr__(name):
         )
 
         return MultiFieldSparkScorer
+    if name in ("build_positional_index", "phrase_match", "phrase_topk"):
+        from bayesian_bm25_js_spark.operators import phrase
+
+        return getattr(phrase, name)
     raise AttributeError(name)

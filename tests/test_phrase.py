@@ -1,0 +1,163 @@
+"""Positional index + exact-phrase retrieval (operators/phrase.py).
+
+The reference has no positions (bm25.ts is bag-of-words); the oracle
+here is a brute-force Python sliding-window count over the same token
+streams, plus BM25 algebra recomputed directly for the score check.
+"""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bayesian_bm25_js_spark.operators.phrase import (
+    build_positional_index,
+    phrase_match,
+    phrase_topk,
+)
+
+
+def _brute_counts(corpus, phrases):
+    exp = {}
+    for qid, ph in enumerate(phrases):
+        for did, toks in enumerate(corpus):
+            n = sum(
+                1
+                for i in range(len(toks) - len(ph) + 1)
+                if toks[i : i + len(ph)] == list(ph)
+            )
+            if n:
+                exp[(qid, did)] = n
+    return exp
+
+
+def _docs_df(spark, corpus):
+    return spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(corpus)],
+        "doc_id long, tokens array<string>",
+    )
+
+
+PHRASE_CORPUS = [
+    ["hash", "join", "table", "scan", "hash", "join"],
+    ["the", "table", "table", "scan", "runs"],
+    ["hash", "join", "join", "table"],
+    ["table", "scan", "table", "scan", "table", "scan"],
+    ["big", "data", "big", "pipeline", "big", "data", "big"],
+    ["scan"],
+]
+
+PHRASES = [
+    ["hash", "join"],
+    ["table", "scan"],
+    ["table", "table"],          # duplicate adjacent term
+    ["big", "data", "big"],      # duplicate term at distance 2
+    ["join", "table", "scan"],
+    ["scan"],                    # single-term phrase == term query
+    ["no", "such", "phrase"],
+]
+
+
+@pytest.fixture(scope="module")
+def pidx(spark):
+    idx = build_positional_index(_docs_df(spark, PHRASE_CORPUS), method="lucene")
+    yield idx
+    idx.unpersist()
+
+
+def test_positional_postings_contents(spark, pidx):
+    rows = {
+        (r["term"], r["doc_id"]): (list(r["positions"]), r["dl"])
+        for r in pidx.postings.collect()
+    }
+    assert rows[("hash", 0)] == ([0, 4], 6)
+    assert rows[("join", 0)] == ([1, 5], 6)
+    assert rows[("table", 3)] == ([0, 2, 4], 6)
+    assert rows[("scan", 5)] == ([0], 1)
+    assert pidx.n_docs == len(PHRASE_CORPUS)
+    assert pidx.avgdl == pytest.approx(
+        sum(len(d) for d in PHRASE_CORPUS) / len(PHRASE_CORPUS)
+    )
+
+
+def test_phrase_match_equals_brute_force(spark, pidx):
+    got = {
+        (r["query_id"], r["doc_id"]): r["tf"]
+        for r in phrase_match(pidx, PHRASES).collect()
+    }
+    assert got == _brute_counts(PHRASE_CORPUS, PHRASES)
+
+
+def test_phrase_match_randomized_parity(spark):
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d"]
+    corpus = [
+        [rng.choice(vocab) for _ in range(rng.randint(1, 30))] for _ in range(40)
+    ]
+    phrases = [
+        [rng.choice(vocab) for _ in range(rng.randint(1, 4))] for _ in range(12)
+    ]
+    idx = build_positional_index(_docs_df(spark, corpus), cache=False)
+    got = {
+        (r["query_id"], r["doc_id"]): r["tf"]
+        for r in phrase_match(idx, phrases).collect()
+    }
+    assert got == _brute_counts(corpus, phrases)
+
+
+def test_phrase_topk_scores_and_order(spark, pidx):
+    rows = phrase_topk(pidx, PHRASES, k=5).collect()
+    counts = _brute_counts(PHRASE_CORPUS, PHRASES)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        # ranks contiguous from 1; order (desc rounded score, asc doc)
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        keyed = [(-round(r["score"], 6), r["doc_id"]) for r in rs]
+        assert keyed == sorted(keyed)
+        # BM25 algebra: pseudo-term with df = matched docs of this query
+        pdf = sum(1 for (q, _d) in counts if q == qid)
+        for r in rs:
+            tf = counts[(qid, r["doc_id"])]
+            assert r["tf"] == tf
+            dl = len(PHRASE_CORPUS[r["doc_id"]])
+            idf = math.log(
+                1.0 + (pidx.n_docs - pdf + 0.5) / (pdf + 0.5)
+            )
+            tfn = (tf * (pidx.k1 + 1)) / (
+                tf + pidx.k1 * (1 - pidx.b + pidx.b * dl / pidx.avgdl)
+            )
+            assert r["score"] == pytest.approx(idf * tfn, rel=1e-12)
+    # absent phrase -> no rows
+    assert 6 not in by_q
+
+
+def test_single_term_phrase_matches_tf(spark, pidx):
+    got = {
+        (r["query_id"], r["doc_id"]): r["tf"]
+        for r in phrase_match(pidx, [["scan"]]).collect()
+    }
+    exp = {}
+    for did, toks in enumerate(PHRASE_CORPUS):
+        n = toks.count("scan")
+        if n:
+            exp[(0, did)] = n
+    assert got == exp
+
+
+def test_empty_phrase_rejected(spark, pidx):
+    with pytest.raises(ValueError):
+        phrase_match(pidx, [])
+    with pytest.raises(ValueError):
+        phrase_match(pidx, [["ok"], []])
+
+
+def test_phrase_match_plan_shape(spark, pidx):
+    """Scale guards: query side broadcast, no cartesian product, and the
+    postings scan prunes on the interned term_id In-predicate."""
+    plan = phrase_match(pidx, PHRASES)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "term_id" in plan
