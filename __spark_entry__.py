@@ -61,6 +61,20 @@ _PHRASE_VALUES_SQL = ", ".join(
     for slot, term in enumerate(phrase)
 )
 
+# Proximity workload (windowed co-occurrence over the same positional
+# index). MUST mirror tools/make_golden.PROX_SET / PROX_WINDOW — the
+# oracle is a frozen brute-force golden (window enumeration vs the
+# engine's two-pointer minimal-cover merge; no SQL can express the
+# minimal-window count).
+PROX_SET = [
+    ["hash", "join"],
+    ["table", "scan"],
+    ["spark", "window"],
+    ["value", "table", "part"],
+    ["join"],
+]
+PROX_WINDOW = 8
+
 
 # ---------------------------------------------------------------------------
 # shared Spark-side builders
@@ -181,6 +195,29 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _docs(spark, sf_dir), k1=K1, b=B, method="lucene"
         )
     out = phrase_topk(_PIDX_CACHE[key], PHRASE_SET, k=TOPK)
+    return out.select(
+        "query_id", "rank", "doc_id", "tf",
+        F.round("score", 6).alias("score_r"),
+    ).orderBy("query_id", "rank")
+
+
+def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-co-occurrence BM25 top-k (operators/phrase.py — engine
+    addition; the reference keeps no positions). Shares the cached
+    positional index with q_phrase_topk. Oracle: frozen brute-force
+    golden from tools/make_golden.proximity_golden (independent window
+    enumeration; regenerate with `python tools/make_golden.py`)."""
+    from bayesian_bm25_js_spark.operators.phrase import (
+        build_positional_index,
+        proximity_topk,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _PIDX_CACHE:
+        _PIDX_CACHE[key] = build_positional_index(
+            _docs(spark, sf_dir), k1=K1, b=B, method="lucene"
+        )
+    out = proximity_topk(_PIDX_CACHE[key], PROX_SET, PROX_WINDOW, k=TOPK)
     return out.select(
         "query_id", "rank", "doc_id", "tf",
         F.round("score", 6).alias("score_r"),
@@ -900,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": q_postings,
         "bm25_topk": q_bm25_topk,
         "phrase_topk": q_phrase_topk,
+        "proximity_topk": q_proximity_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_auto_topk": q_bm25_auto_topk,
         "streaming_index_topk": q_streaming_index_topk,
@@ -1226,6 +1264,11 @@ def oracle_sql() -> dict[str, str]:
         # pure-Python/NumPy implementation (tools/make_golden.py; XXH64
         # ported from the public spec, parity pinned in
         # tests/test_xxh64.py), frozen at sf0.01 generation time.
+        "proximity_topk": """
+            SELECT query_id, rank, doc_id, tf, score_r
+            FROM read_parquet('/root/repo/tests/golden/proximity_topk.parquet')
+            ORDER BY query_id, rank
+        """,
         "minhash_lsh_pairs": """
             SELECT a, b, est_jaccard_r
             FROM read_parquet('/root/repo/tests/golden/minhash_lsh_pairs.parquet')

@@ -80,7 +80,13 @@ def __getattr__(name):
         )
 
         return MultiFieldSparkScorer
-    if name in ("build_positional_index", "phrase_match", "phrase_topk"):
+    if name in (
+        "build_positional_index",
+        "phrase_match",
+        "phrase_topk",
+        "proximity_match",
+        "proximity_topk",
+    ):
         from bayesian_bm25_js_spark.operators import phrase
 
         return getattr(phrase, name)

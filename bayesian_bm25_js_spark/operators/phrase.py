@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -132,31 +134,22 @@ def _phrases_to_slots(
     )
 
 
-def phrase_match(
-    index: PositionalIndex, phrases: Sequence[Sequence[str]]
-) -> DataFrame:
-    """-> (query_id, doc_id, dl, tf): docs containing each exact phrase,
-    tf = number of phrase occurrences. Sparse (non-matching docs absent).
-
-    Plan: postings filtered by a term_id In-predicate (8-byte keys →
-    columnar batch pruning; the string column is never scanned), joined
-    to the broadcast slot table, then ONE (query, doc)-keyed agg pivots
-    each slot's position array via conditional max. A doc matches when
-    every slot matched (countDistinct(slot) == plen) and the shifted
-    position arrays intersect: start positions of slot i live at
-    p_i - i, so ∩_i (p_i - i) is exactly the set of phrase start
-    offsets. Duplicate phrase terms ("big data big") work unchanged —
-    both slots pivot the same position array at different shifts.
-    """
-    if not phrases or any(len(p) == 0 for p in phrases):
-        raise ValueError("phrases must be non-empty token sequences")
+def _slot_pivot(
+    index: PositionalIndex, slot_lists: Sequence[Sequence[str]]
+) -> tuple[DataFrame, int]:
+    """Shared match frontend for phrase/proximity: join the term_id-
+    pruned positional postings to the broadcast slot table, then ONE
+    (query, doc)-keyed agg pivots each slot's position array via
+    conditional max. Returns (g, max_len) where g has columns
+    (query_id, doc_id, dl, plen, p0..p{max_len-1}) and keeps only
+    docs where every slot matched (countDistinct(slot) == plen)."""
     spark = index.postings.sparkSession
-    slots = _phrases_to_slots(spark, phrases)
-    max_len = max(len(p) for p in phrases)
+    slots = _phrases_to_slots(spark, slot_lists)
+    max_len = max(len(p) for p in slot_lists)
 
     from bayesian_bm25_js_spark.functions.xxh64 import spark_xxhash64
 
-    all_terms = sorted({t for p in phrases for t in p})
+    all_terms = sorted({t for p in slot_lists for t in p})
     ids = [spark_xxhash64(t) for t in all_terms]
     post = index.postings.filter(isin_filter("term_id", ids)).drop("term")
     qt = F.broadcast(slots.withColumn("term_id", F.xxhash64("term")).drop("term"))
@@ -174,6 +167,28 @@ def phrase_match(
         F.first("plen").alias("plen"),
         F.first("dl").alias("dl"),
     ).filter(F.col("n_slots") == F.col("plen"))
+    return g, max_len
+
+
+def phrase_match(
+    index: PositionalIndex, phrases: Sequence[Sequence[str]]
+) -> DataFrame:
+    """-> (query_id, doc_id, dl, tf): docs containing each exact phrase,
+    tf = number of phrase occurrences. Sparse (non-matching docs absent).
+
+    Plan: postings filtered by a term_id In-predicate (8-byte keys →
+    columnar batch pruning; the string column is never scanned), joined
+    to the broadcast slot table, then ONE (query, doc)-keyed agg pivots
+    each slot's position array via conditional max (_slot_pivot). A doc
+    matches when every slot matched and the shifted position arrays
+    intersect: start positions of slot i live at p_i - i, so
+    ∩_i (p_i - i) is exactly the set of phrase start offsets. Duplicate
+    phrase terms ("big data big") work unchanged — both slots pivot the
+    same position array at different shifts.
+    """
+    if not phrases or any(len(p) == 0 for p in phrases):
+        raise ValueError("phrases must be non-empty token sequences")
+    g, max_len = _slot_pivot(index, phrases)
 
     # start-position set: p0 ∩ (p1 - 1) ∩ ... — slots beyond a query's
     # own length are NULL (no such slot row) and are skipped.
@@ -212,6 +227,130 @@ def phrase_topk(
     from pyspark.sql.window import Window
 
     matched = phrase_match(index, phrases)
+    pdf = F.count(F.lit(1)).over(Window.partitionBy("query_id"))
+    k1, b, avgdl = F.lit(index.k1), F.lit(index.b), F.lit(index.avgdl)
+    tf = F.col("tf").cast("double")
+    tf_norm = (tf * (k1 + F.lit(1.0))) / (
+        tf + k1 * (F.lit(1.0) - b + b * (F.col("dl") / avgdl))
+    )
+    scored = matched.withColumn(
+        "score",
+        idf_column(pdf, index.n_docs, index.method) * tf_norm,
+    )
+    out = top_k(scored.select("query_id", "doc_id", "tf", "score"), k)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        "tf",
+        "score",
+    )
+
+
+def _min_cover_count_udf(window: int):
+    """Arrow-batched minimal-cover counter over pivoted slot position
+    arrays. Per row: merge the slot position lists (each bounded by
+    that term's tf in the doc) and run the classic two-pointer minimal-
+    window enumeration; tf = number of minimal windows whose span
+    (last - first + 1) fits in `window`. Python loops only over a
+    doc's own occurrence events — never over docs row-at-a-time on the
+    driver, and the heavy filtering (term pruning, full-slot coverage)
+    already happened in Catalyst before this kernel sees a row."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def cover_count(arrs: pd.Series) -> pd.Series:
+        out = np.zeros(len(arrs), dtype="int32")
+        for i, row in enumerate(arrs):
+            lists = [lst for lst in row if lst is not None]
+            k = len(lists)
+            if k == 1:
+                # every occurrence is its own span-1 minimal window
+                out[i] = len(lists[0])
+                continue
+            events = sorted(
+                (int(p), s) for s, lst in enumerate(lists) for p in lst
+            )
+            counts = [0] * k
+            covered = 0
+            left = 0
+            tf = 0
+            for right, (pos_r, slot_r) in enumerate(events):
+                if counts[slot_r] == 0:
+                    covered += 1
+                counts[slot_r] += 1
+                if covered < k:
+                    continue
+                # shrink to the minimal window ending at `right`
+                while counts[events[left][1]] > 1:
+                    counts[events[left][1]] -= 1
+                    left += 1
+                if pos_r - events[left][0] + 1 <= window:
+                    tf += 1
+                # drop the left endpoint: the next minimal window must
+                # start past it (each minimal window counted once)
+                counts[events[left][1]] -= 1
+                covered -= 1
+                left += 1
+            out[i] = tf
+        return pd.Series(out)
+
+    # The kernel is pure; asNondeterministic only stops Catalyst from
+    # substituting the UDF into the pushed-down tf > 0 filter, which
+    # would evaluate it twice (two ArrowEvalPython nodes = double the
+    # Arrow transfer + kernel work; plan pinned in test_phrase).
+    return cover_count.asNondeterministic()
+
+
+def proximity_match(
+    index: PositionalIndex,
+    queries: Sequence[Sequence[str]],
+    window: int,
+) -> DataFrame:
+    """-> (query_id, doc_id, dl, tf): docs where ALL of a query's
+    distinct terms co-occur within `window` consecutive tokens, in any
+    order. tf = number of minimal co-occurrence windows of span ≤
+    `window` (a window is minimal when shrinking either end loses a
+    term — each cluster of the terms counts once, not once per
+    enclosing window). Duplicate query terms collapse: proximity is a
+    set semantics, unlike phrase_match's slot-per-occurrence.
+
+    Plan: identical Catalyst frontend to phrase_match (_slot_pivot:
+    term_id-pruned postings scan, broadcast slots, one (query, doc)
+    agg); only the final per-row kernel differs — minimal-cover
+    counting over tf-bounded position arrays is not expressible with
+    array intrinsics, so it runs as one Arrow-batched pandas UDF.
+    """
+    if not queries or any(len(q) == 0 for q in queries):
+        raise ValueError("queries must be non-empty token sequences")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    uniq = [sorted(set(q)) for q in queries]
+    g, max_len = _slot_pivot(index, uniq)
+    cover = _min_cover_count_udf(window)
+    arr = F.array(*[F.col(f"p{i}") for i in range(max_len)])
+    return (
+        g.withColumn("tf", cover(arr))
+        .filter(F.col("tf") > 0)
+        .select("query_id", "doc_id", "dl", "tf")
+    )
+
+
+def proximity_topk(
+    index: PositionalIndex,
+    queries: Sequence[Sequence[str]],
+    window: int,
+    k: int = 10,
+) -> DataFrame:
+    """-> (query_id, rank, doc_id, tf, score): proximity BM25 top-k.
+
+    Same pseudo-term scoring as phrase_topk — df = docs with ≥1
+    qualifying window (window count per query, no driver action), idf
+    by the index's policy, tf = minimal-cover count, engine tie-break
+    (desc round(score, 6), asc doc_id)."""
+    from pyspark.sql.window import Window
+
+    matched = proximity_match(index, queries, window)
     pdf = F.count(F.lit(1)).over(Window.partitionBy("query_id"))
     k1, b, avgdl = F.lit(index.k1), F.lit(index.b), F.lit(index.avgdl)
     tf = F.col("tf").cast("double")

@@ -234,6 +234,45 @@ class BayesianBM25SparkScorer:
             )
         return self._block_max
 
+    # One scoring-agg combine-map entry per (query, matched doc) per
+    # layout partition; the measured spill-free operating point (width
+    # 2000, 300k docs, 128-way layout — tools/width_sweep.py; 4000-wide
+    # spilled 34 GB) puts the cliff at ~5M entries per task. The cap
+    # scales with the index's own layout grain and corpus size, so
+    # fixture-sized corpora never chunk and a 10x corpus chunks 10x
+    # sooner unless layout_partitions grew with it.
+    _SPILL_FREE_ENTRIES_PER_TASK = 5_000_000
+
+    def _spill_free_width(self) -> int:
+        layout = self._index.postings.rdd.getNumPartitions()
+        docs = max(1, self._index.n_docs)
+        return max(
+            256, int(self._SPILL_FREE_ENTRIES_PER_TASK * layout / docs)
+        )
+
+    def _scored_batch(
+        self, qlists: List[List[str]], k: int, dense: bool, strategy: str
+    ) -> DataFrame:
+        """Strategy dispatch for ONE width-capped query batch:
+        -> top_k frame (query_id local to the batch)."""
+        if dense or strategy == "exhaustive":
+            return top_k(self._score(qlists, dense), k)
+        from bayesian_bm25_js_spark.operators.wand import auto_topk, wand_topk
+
+        if strategy == "wand":
+            qdf = queries_to_df(self._index.spark, qlists)
+            terms = sorted({tok for q in qlists for tok in q})
+            return wand_topk(
+                self._index, qdf, k,
+                block_max=self._block_max_cached(), terms_filter=terms,
+            )
+        # provider keeps block-max construction lazy: batches the
+        # router sends to the exhaustive path never build it
+        return auto_topk(
+            self._index, qlists, k,
+            block_max_provider=self._block_max_cached,
+        )
+
     def retrieve(
         self,
         queries: Sequence[Sequence[str]],
@@ -241,6 +280,7 @@ class BayesianBM25SparkScorer:
         explain: bool = False,
         dense: bool = False,
         strategy: str = "auto",
+        max_batch_width: Optional[int] = None,
     ) -> DataFrame:
         """-> (query_id, rank, doc_id, score, probability [, trace cols]).
 
@@ -264,8 +304,14 @@ class BayesianBM25SparkScorer:
         agg's combine state — width x docs / layout partition — blows
         past task memory (~2000 queries at the default 128-way layout,
         300k docs, 32 threads; measured curve in tools/width_sweep.py).
-        For wider standing batches, size the index build's
-        layout_partitions up (see build_inverted_index).
+        Batches wider than the spill-free width are automatically split
+        into sub-batches of at most that width and unioned (query_ids
+        offset per chunk — output is identical to one wide batch; each
+        chunk's aggregate keeps its own chunk-width combine state, so
+        per-task memory never crosses the cliff at the cost of one
+        extra postings-cache scan per chunk). max_batch_width overrides
+        the derived cap; for wider standing batches, size the index
+        build's layout_partitions up instead (see build_inverted_index).
         """
         self._ensure_indexed()
         if strategy not in ("auto", "wand", "exhaustive"):
@@ -274,25 +320,19 @@ class BayesianBM25SparkScorer:
                 f"got {strategy!r}"
             )
         t = self._transform
-        if dense or strategy == "exhaustive":
-            scored = top_k(self._score(queries, dense), k)
-        else:
-            from bayesian_bm25_js_spark.operators.wand import auto_topk, wand_topk
+        qlists = [list(q) for q in queries]
+        cap = max_batch_width or self._spill_free_width()
+        if len(qlists) > cap and not dense:
+            from functools import reduce
 
-            if strategy == "wand":
-                qdf = queries_to_df(self._index.spark, queries)
-                terms = sorted({tok for q in queries for tok in q})
-                scored = wand_topk(
-                    self._index, qdf, k,
-                    block_max=self._block_max_cached(), terms_filter=terms,
-                )
-            else:
-                # provider keeps block-max construction lazy: batches
-                # the router sends to the exhaustive path never build it
-                scored = auto_topk(
-                    self._index, [list(q) for q in queries], k,
-                    block_max_provider=self._block_max_cached,
-                )
+            parts = [
+                self._scored_batch(qlists[i : i + cap], k, dense, strategy)
+                .withColumn("query_id", F.col("query_id") + F.lit(i))
+                for i in range(0, len(qlists), cap)
+            ]
+            scored = reduce(DataFrame.unionByName, parts)
+        else:
+            scored = self._scored_batch(qlists, k, dense, strategy)
         out = calibrate(
             scored,
             self._index,

@@ -613,6 +613,7 @@ def run_bench(cpus: int) -> dict:
         for name in ["bm25_calibrated_topk", "bm25_wand_topk", "bm25_auto_topk",
                      "dense_probabilities",
                      "cosine_topk", "ivf_topk", "streaming_index_topk",
+                     "phrase_topk", "proximity_topk",
                      "dedup_exact", "text_stats"]:
             fn = entry_mod.queries()[name]
             if name == "streaming_index_topk":
@@ -622,6 +623,13 @@ def run_bench(cpus: int) -> dict:
                 fn(spark, SF_DIR).count()
                 timings["streaming_ingest"] = round(time.time() - t0, 3)
                 log(f"[bench] streaming_ingest: {timings['streaming_ingest']}s")
+            if name == "phrase_topk":
+                # first call pays build_positional_index (cached after;
+                # proximity_topk reuses it) — report build separately
+                t0 = time.time()
+                fn(spark, SF_DIR).count()
+                timings["positional_build"] = round(time.time() - t0, 3)
+                log(f"[bench] positional_build: {timings['positional_build']}s")
             t0 = time.time()
             fn(spark, SF_DIR).count()
             timings[name] = round(time.time() - t0, 3)
@@ -909,6 +917,14 @@ def _write_scaling_report(results, levels, hw_cpu, hw_mem, trials,
             )
             + " |\n"
         )
+        # hand-written interpretation (per-sweep "Reading:" notes, the
+        # batch-width annex, ...) lives in BENCH/BASELINE_annex.md and
+        # is appended verbatim, so crash-replays and future sweeps
+        # never drop it (tools/rewrite_scaling_report.py replays this
+        # whole function from the raw trial rows).
+        annex = os.path.join("BENCH", "BASELINE_annex.md")
+        if os.path.exists(annex):
+            fh.write("\n" + open(annex).read())
     for lo, hi in pairs:
         log(
             f"[scaling] ({trials} trials) {lo}->{hi}: build eff={eff(f, lo, hi):.3f} "

@@ -161,3 +161,132 @@ def test_phrase_match_plan_shape(spark, pidx):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "term_id" in plan
+
+
+# ---------------------------------------------------------------------------
+# proximity (windowed co-occurrence) retrieval
+# ---------------------------------------------------------------------------
+
+from bayesian_bm25_js_spark.operators.phrase import (  # noqa: E402
+    proximity_match,
+    proximity_topk,
+)
+
+
+def _covered(seg, terms):
+    return terms <= set(seg)
+
+
+def _brute_prox(corpus, queries, window):
+    """Independent oracle: enumerate ALL (s, e) windows of span <=
+    window that cover the query's distinct terms and are minimal
+    (shrinking either end loses coverage)."""
+    exp = {}
+    for qid, q in enumerate(queries):
+        terms = set(q)
+        for did, toks in enumerate(corpus):
+            n = 0
+            for s in range(len(toks)):
+                for e in range(s, min(len(toks), s + window)):
+                    if (
+                        _covered(toks[s : e + 1], terms)
+                        and not _covered(toks[s + 1 : e + 1], terms)
+                        and not _covered(toks[s:e], terms)
+                    ):
+                        n += 1
+            if n:
+                exp[(qid, did)] = n
+    return exp
+
+
+PROX_QUERIES = [
+    ["hash", "scan"],            # order-free: matches scan..hash too
+    ["table", "scan"],
+    ["join", "join"],            # duplicates collapse to one term
+    ["big", "data", "pipeline"],
+    ["scan"],                    # single term: tf = occurrence count
+    ["no", "such", "terms"],
+]
+
+
+def test_proximity_match_equals_brute_force(spark, pidx):
+    for window in (2, 3, 5):
+        got = {
+            (r["query_id"], r["doc_id"]): r["tf"]
+            for r in proximity_match(pidx, PROX_QUERIES, window).collect()
+        }
+        assert got == _brute_prox(PHRASE_CORPUS, PROX_QUERIES, window), window
+
+
+def test_proximity_randomized_parity(spark):
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d", "e"]
+    corpus = [
+        [rng.choice(vocab) for _ in range(rng.randint(1, 25))] for _ in range(30)
+    ]
+    queries = [
+        [rng.choice(vocab) for _ in range(rng.randint(1, 3))] for _ in range(10)
+    ]
+    idx = build_positional_index(_docs_df(spark, corpus), cache=False)
+    for window in (1, 3, 6):
+        got = {
+            (r["query_id"], r["doc_id"]): r["tf"]
+            for r in proximity_match(idx, queries, window).collect()
+        }
+        assert got == _brute_prox(corpus, queries, window), window
+
+
+def test_proximity_order_free_vs_phrase(spark, pidx):
+    """["hash", "scan"] matches doc 0 (hash..scan at distance 3) at
+    window 4 but never as an exact phrase."""
+    prox = {
+        (r["query_id"], r["doc_id"]): r["tf"]
+        for r in proximity_match(pidx, [["hash", "scan"]], 4).collect()
+    }
+    assert (0, 0) in prox
+    ph = phrase_match(pidx, [["hash", "scan"]]).collect()
+    assert ph == []
+
+
+def test_proximity_topk_scores(spark, pidx):
+    window = 3
+    rows = proximity_topk(pidx, PROX_QUERIES, window, k=5).collect()
+    counts = _brute_prox(PHRASE_CORPUS, PROX_QUERIES, window)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        pdf = sum(1 for (q, _d) in counts if q == qid)
+        for r in rs:
+            tf = counts[(qid, r["doc_id"])]
+            assert r["tf"] == tf
+            dl = len(PHRASE_CORPUS[r["doc_id"]])
+            idf = math.log(1.0 + (pidx.n_docs - pdf + 0.5) / (pdf + 0.5))
+            tfn = (tf * (pidx.k1 + 1)) / (
+                tf + pidx.k1 * (1 - pidx.b + pidx.b * dl / pidx.avgdl)
+            )
+            assert r["score"] == pytest.approx(idf * tfn, rel=1e-12)
+    assert 5 not in by_q  # absent terms -> no rows
+
+
+def test_proximity_validation(spark, pidx):
+    with pytest.raises(ValueError):
+        proximity_match(pidx, [], 3)
+    with pytest.raises(ValueError):
+        proximity_match(pidx, [["ok"], []], 3)
+    with pytest.raises(ValueError):
+        proximity_match(pidx, [["ok"]], 0)
+
+
+def test_proximity_plan_shape(spark, pidx):
+    """Same Catalyst frontend as phrase_match: broadcast slots, no
+    cartesian product, term_id scan pruning; exactly one Python stage
+    (the Arrow cover-count kernel)."""
+    plan = (
+        proximity_match(pidx, PROX_QUERIES, 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "term_id" in plan
+    assert plan.count("ArrowEvalPython") == 1

@@ -256,3 +256,40 @@ def test_block_max_is_lazy_in_routed_retrieve(spark):
     # re-index drops the cached metadata
     s.index(docs)
     assert s._block_max is None
+
+
+def test_chunked_retrieve_matches_single_batch(spark_scorer):
+    """Batches wider than max_batch_width split into width-capped
+    sub-batches whose union is row-identical to the one-batch plan
+    (query_id offsets re-aligned per chunk), for every strategy."""
+    queries = [
+        ["cat"], ["dog", "bird"], ["cat", "dog"], ["xyzzy"],
+        ["bird"], ["cat", "cat"], ["dog"],
+    ]
+    for strategy in ("exhaustive", "wand", "auto"):
+        wide = collect_retrieve(
+            spark_scorer.retrieve(queries, 3, strategy=strategy)
+        )
+        chunked = collect_retrieve(
+            spark_scorer.retrieve(
+                queries, 3, strategy=strategy, max_batch_width=2
+            )
+        )
+        assert chunked == wide, strategy
+
+
+def test_spill_free_width_scales_with_layout(spark_scorer):
+    """Derived cap = entries-per-task constant x layout grain / corpus
+    size, floored; fixture corpora therefore never chunk."""
+    w = spark_scorer._spill_free_width()
+    layout = spark_scorer.index_.postings.rdd.getNumPartitions()
+    expected = max(
+        256,
+        int(
+            spark_scorer._SPILL_FREE_ENTRIES_PER_TASK
+            * layout
+            / spark_scorer.index_.n_docs
+        ),
+    )
+    assert w == expected
+    assert w >= 256

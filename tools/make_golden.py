@@ -14,6 +14,7 @@ Run: python tools/make_golden.py [sf_dir] (default /root/testdata/sf0.01)
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import re
 import sys
@@ -208,6 +209,65 @@ def _seq_dot(a, b) -> float:
     return s
 
 
+# proximity workload — MUST mirror __spark_entry__.PROX_SET / PROX_WINDOW
+PROX_SET = [
+    ["hash", "join"],
+    ["table", "scan"],
+    ["spark", "window"],
+    ["value", "table", "part"],
+    ["join"],
+]
+PROX_WINDOW = 8
+PROX_K1, PROX_B, PROX_TOPK = 1.2, 0.75, 10
+
+
+def proximity_golden(doc_ids, texts, queries=PROX_SET, window=PROX_WINDOW):
+    """Independent brute-force oracle for operators/phrase.proximity_topk:
+    enumerate EVERY (s, e) token window of span <= `window`, keep those
+    covering all the query's distinct terms that are minimal (shrinking
+    either end loses coverage), count them as tf, then score the
+    pseudo-term with lucene idf and the engine's round(score,6)/doc_id
+    ranking. Window enumeration here vs the engine's two-pointer merge
+    — algorithmically disjoint implementations."""
+    toks = {d: tokenize(t) for d, t in zip(doc_ids, texts)}
+    n_docs = len(doc_ids)
+    avgdl = sum(len(v) for v in toks.values()) / max(1, n_docs)
+
+    def covered(seg, terms):
+        return terms <= set(seg)
+
+    rows = []
+    for qid, q in enumerate(queries):
+        terms = set(q)
+        matched = {}
+        for did in doc_ids:
+            tk = toks[did]
+            n = 0
+            for s in range(len(tk)):
+                for e in range(s, min(len(tk), s + window)):
+                    if (
+                        covered(tk[s : e + 1], terms)
+                        and not covered(tk[s + 1 : e + 1], terms)
+                        and not covered(tk[s:e], terms)
+                    ):
+                        n += 1
+            if n:
+                matched[did] = n
+        pdf = len(matched)
+        idf = math.log(1.0 + (n_docs - pdf + 0.5) / (pdf + 0.5))
+        scored = []
+        for did, tf in matched.items():
+            dl = len(toks[did])
+            tfn = (tf * (PROX_K1 + 1.0)) / (
+                tf + PROX_K1 * (1.0 - PROX_B + PROX_B * dl / avgdl)
+            )
+            scored.append((did, tf, idf * tfn))
+        scored.sort(key=lambda r: (-round_half_up(r[2]), r[0]))
+        for rank, (did, tf, score) in enumerate(scored[:PROX_TOPK], 1):
+            rows.append((qid, rank, did, tf, round_half_up(score)))
+    return rows
+
+
 def ivf_probe_golden(sf_dir: str, n_cells=8, n_iters=3, n_probe=2, k_wide=40, k=10):
     """Independent pure-Python mirror of similarity.ivf_build +
     ivf_topk at n_probe < n_cells — the PRUNED path (recall < 1 by
@@ -346,6 +406,21 @@ def main() -> None:
         os.path.join(GOLDEN_DIR, "ivf_probe_topk.parquet"),
     )
     print(f"ivf_probe_topk: {len(iv)} rows")
+
+    px = proximity_golden(doc_ids, texts)
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array([r[0] for r in px], pa.int64()),
+                "rank": pa.array([r[1] for r in px], pa.int32()),
+                "doc_id": pa.array([r[2] for r in px], pa.int64()),
+                "tf": pa.array([r[3] for r in px], pa.int32()),
+                "score_r": pa.array([r[4] for r in px], pa.float64()),
+            }
+        ),
+        os.path.join(GOLDEN_DIR, "proximity_topk.parquet"),
+    )
+    print(f"proximity_topk: {len(px)} rows")
 
 
 if __name__ == "__main__":
