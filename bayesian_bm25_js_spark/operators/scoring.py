@@ -244,6 +244,7 @@ def top_k(
     two_phase: bool = True,
     salt: int = 64,
     round_dp: Optional[int] = 6,
+    phase1_partitions: Optional[int] = None,
 ) -> DataFrame:
     """Per-query top-k with the mandatory (desc score, asc doc_id)
     tie-break (bm25.ts:139-144 via JS stable sort).
@@ -271,12 +272,27 @@ def top_k(
     )
     order = [F.desc(sort_score), F.asc("doc_id")]
     if two_phase:
-        w1 = Window.partitionBy(
-            "query_id", F.pmod(F.xxhash64("doc_id"), F.lit(salt))
-        ).orderBy(*order)
+        # Phase 1 sorts the ENTIRE scored stream within its window
+        # groups; at the default shuffle grain (~1 partition per core)
+        # each task sorts scored_rows/partitions rows and spills
+        # (measured: 2 GB/batch at 2000 queries x 300k docs x 32
+        # partitions). Pin this one exchange 4x finer — an explicit
+        # hash repartition on exactly the window keys, so the window
+        # adds NO second exchange — and the per-task sort fits in
+        # execution memory. 4 x shuffle.partitions is level-invariant
+        # (a config constant, not a core count): every local[N] level
+        # of the scaling sweep runs the identical plan.
+        scores = scores.withColumn(
+            "__slice", F.pmod(F.xxhash64("doc_id"), F.lit(salt))
+        )
+        n_p1 = phase1_partitions or 4 * int(
+            scores.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        scores = scores.repartition(n_p1, "query_id", "__slice")
+        w1 = Window.partitionBy("query_id", "__slice").orderBy(*order)
         scores = scores.withColumn("__r1", F.row_number().over(w1)).filter(
             F.col("__r1") <= k
-        ).drop("__r1")
+        ).drop("__r1", "__slice")
     w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scores.withColumn("rank", F.row_number().over(w))

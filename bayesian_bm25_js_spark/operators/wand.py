@@ -489,29 +489,50 @@ def wand_topk(
     if terms_filter is not None:
         postings = _isin_key(postings)
 
-    # Push the pruning INTO the join key: postings join on
-    # (term_id, block_id) against surviving-query-token×block rows, so a
-    # pruned (query, block) never emits a fan-out row at all (the
-    # filter-after-fan-out alternative still materializes every
-    # (posting, token) pair — profiled ~94M emitted rows per 150-query
-    # batch). Broadcasting keeps postings doc_id-partitioned -> full
-    # map-side combining of the score aggregation.
-    qt_blocks = qt.join(surviving, "query_id").select(
-        "query_id", "pos", "is_first", join_key, "block_id",
-        *(["idf"] if carry_idf else []),
-    )
+    # Push the pruning into the scoring stage as TWO chained broadcast
+    # hash joins: postings probe the (tiny, token-count-sized) query
+    # side on term_id, then the packed (query_id << 32 | block_id)
+    # survivor set. Both probes pipeline inside one whole-stage-codegen
+    # span, so a pruned (query, block) pair dies at the second probe
+    # without ever materializing into the aggregation — same guarantee
+    # as joining on (term_id, block_id) directly, but the driver never
+    # builds the tokens×blocks product broadcast (measured 2.8M rows /
+    # ~125 MB and ~1.5 s of serial build per 2000-query batch at 300k
+    # docs; the two small sides are ~6k rows + ~8 MB packed longs).
+    # Broadcasting keeps postings doc_id-partitioned -> full map-side
+    # combining of the score aggregation.
+    pack = F.shiftleft(F.col("query_id"), 32) + F.col("block_id").cast("long")
     if broadcast_survivors:
-        qt_blocks = F.broadcast(qt_blocks)
-
-    joined = (
-        postings.withColumn(
-            "block_id", F.floor(F.col("doc_id") / block_size).cast("int")
+        surv = F.broadcast(surviving.select(pack.alias("__qb")))
+        joined = (
+            postings.withColumn(
+                "block_id", F.floor(F.col("doc_id") / block_size).cast("int")
+            )
+            .join(F.broadcast(qt), join_key)
+            .withColumn("__qb", pack)
+            .join(surv, "__qb")
+            .select(
+                "query_id", "doc_id", "pos", "is_first", "dl",
+                contrib.alias("contrib"),
+            )
         )
-        .join(qt_blocks, [join_key, "block_id"])
-        .select(
-            "query_id", "doc_id", "pos", "is_first", "dl", contrib.alias("contrib")
+    else:
+        # shuffle fallback for extreme batch sizes: one combined join
+        # keyed on (term, block) so the shuffled side stays bounded
+        qt_blocks = qt.join(surviving, "query_id").select(
+            "query_id", "pos", "is_first", join_key, "block_id",
+            *(["idf"] if carry_idf else []),
         )
-    )
+        joined = (
+            postings.withColumn(
+                "block_id", F.floor(F.col("doc_id") / block_size).cast("int")
+            )
+            .join(qt_blocks, [join_key, "block_id"])
+            .select(
+                "query_id", "doc_id", "pos", "is_first", "dl",
+                contrib.alias("contrib"),
+            )
+        )
     if exact_order:
         score_agg = F.aggregate(
             F.array_sort(F.collect_list(F.struct("pos", "contrib"))),

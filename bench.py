@@ -122,12 +122,17 @@ def measure_probes(cpus: int) -> dict:
     }
 
 
-def run_ab(prev_rev: str, trials: int = 2) -> dict:
+def run_ab(prev_rev: str, trials: int = None) -> dict:
     """Same-session interleaved A/B of the previous round's code vs
     HEAD on the flagship legs (build + wand + routed queries), lean
     mode, fresh JVM per run. This is the only trustworthy
     round-over-round speed signal on a box whose absolute throughput
-    moves 1.3-1.5x between sessions."""
+    moves 1.3-1.5x between sessions. Raw per-trial rows ride in the
+    artifact: this VM occasionally halves throughput for minutes at a
+    time, and a contended trial is only diagnosable when the trial
+    values themselves are visible next to the medians."""
+    if trials is None:
+        trials = int(os.environ.get("BENCH_AB_TRIALS", "3"))
     import shutil
 
     wt = f"/tmp/bench-ab-{prev_rev}"
@@ -172,7 +177,9 @@ def run_ab(prev_rev: str, trials: int = 2) -> dict:
         for key in ("files_per_sec", "qps_top10_calibrated", "qps_wand"):
             p, c = med("prev", key), med("cur", key)
             legs[key] = {"prev": p, "cur": c,
-                         "ratio": round(c / p, 3) if p else None}
+                         "ratio": round(c / p, 3) if p else None,
+                         "raw_prev": [r[key] for r in runs["prev"]],
+                         "raw_cur": [r[key] for r in runs["cur"]]}
         return {"rev": prev_rev, "trials": trials,
                 "n_files": int(env["BENCH_FILES"]),
                 "n_queries": int(env["BENCH_QUERIES"]), "legs": legs}

@@ -52,6 +52,10 @@ def main(sf_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entry_mod.queries()
+    only = os.environ.get("CHECK_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        qs = {n: f for n, f in qs.items() if n in keep}
     oracles = entry_mod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
