@@ -23,9 +23,27 @@ def simple_plan(df: DataFrame) -> str:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle boundaries in the analyzed physical plan."""
-    plan = plan_string(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", plan))
+    """Number of shuffle boundaries the plan will actually EXECUTE.
+
+    Walks the physical plan tree JVM-side counting ShuffleExchange
+    nodes (nodeName "Exchange"): a printed-plan regex over-counts
+    because formatted/simple explain both include cached relations'
+    DEFINITION subtrees for provenance — those exchanges already ran
+    at cache-build time and don't re-execute per query. The walk stops
+    at InMemoryTableScan leaves, excludes BroadcastExchange (not a
+    shuffle) and ReusedExchange (a reference, not an extra shuffle).
+    """
+
+    def walk(node) -> int:
+        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            return walk(node.initialPlan())
+        n = 1 if node.nodeName() == "Exchange" else 0
+        children = node.children()
+        for i in range(children.size()):
+            n += walk(children.apply(i))
+        return n
+
+    return walk(df._jdf.queryExecution().executedPlan())
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

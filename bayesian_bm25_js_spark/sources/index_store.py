@@ -12,6 +12,10 @@ Layout under <path>/:
   meta.json        scalars (n_docs, avgdl, k1, b, method), calibration
                    params (alpha, beta, base_rate), build metrics and
                    per-partition lineage
+  positional/ + positional_meta.json
+                   optional positional postings for phrase/proximity
+                   retrieval (save_positional_index), same term-bucketed
+                   layout
 """
 
 from __future__ import annotations
@@ -177,3 +181,88 @@ def load_packed_index(spark: SparkSession, path: str) -> tuple:
         push_string_filter=True,
     )
     return index, meta.get("transform", {})
+
+
+# -- positional index (operators/phrase.py) --------------------------------
+
+POSITIONAL_FORMAT_VERSION = 1
+
+
+def save_positional_index(pidx, path: str, n_buckets: int = 32) -> dict:
+    """Persist a PositionalIndex under <path>/: positional/ parquet
+    bucketed by hash(term) and sorted (term, doc_id) within files —
+    the same layout rationale as the main store (term dictionary pages
+    compress, a phrase's term In-filter prunes whole row groups via
+    stats before any position array is decoded) — plus meta.json.
+    Position arrays stay per-(doc, term) lists bounded by tf."""
+    t0 = time.time()
+    (
+        pidx.postings.repartition(n_buckets, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/positional")
+    )
+    meta = {
+        "positional_format": POSITIONAL_FORMAT_VERSION,
+        "n_docs": pidx.n_docs,
+        "avgdl": pidx.avgdl,
+        "k1": pidx.k1,
+        "b": pidx.b,
+        "method": pidx.method,
+        "n_buckets": n_buckets,
+        "build_seconds": round(time.time() - t0, 3),
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/positional_meta.json", "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+def load_positional_index(
+    spark: SparkSession,
+    path: str,
+    cache: bool = True,
+    partition_by_doc: bool = True,
+    layout_partitions: Optional[int] = None,
+):
+    """-> PositionalIndex over the saved layout. The scan stays
+    term-bucketed on disk (phrase term In-filters prune row groups);
+    the runtime cache re-partitions by doc_id at the usual 4x-cores
+    grain so phrase/proximity matching's (query, doc)-keyed agg
+    combines map-side (same trade as build_positional_index)."""
+    from bayesian_bm25_js_spark.operators.phrase import PositionalIndex
+
+    meta_path = f"{path}/positional_meta.json"
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"no positional index at {path} (missing positional_meta.json "
+            "— was this index saved with save_positional_index?)"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    fmt = meta.get("positional_format") or 0
+    if fmt != POSITIONAL_FORMAT_VERSION:
+        raise ValueError(
+            f"positional index at {path} has format {fmt}; this build "
+            f"reads {POSITIONAL_FORMAT_VERSION} — re-run "
+            "save_positional_index with the current code"
+        )
+    postings = spark.read.parquet(f"{path}/positional")
+    if partition_by_doc:
+        n_part = layout_partitions or max(
+            4 * spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        )
+        postings = postings.repartition(n_part, "doc_id").sortWithinPartitions(
+            "term_id"
+        )
+    if cache:
+        postings = postings.persist()
+    return PositionalIndex(
+        postings,
+        meta["n_docs"],
+        meta["avgdl"],
+        meta["k1"],
+        meta["b"],
+        meta["method"],
+    )

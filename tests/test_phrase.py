@@ -290,3 +290,41 @@ def test_proximity_plan_shape(spark, pidx):
     assert "CartesianProduct" not in plan
     assert "term_id" in plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_positional_save_load_roundtrip(spark, pidx, tmp_path):
+    """phrase/proximity results from a loaded positional index are
+    row-identical to the in-memory build; the saved layout carries a
+    format version and rejects unknown ones."""
+    from bayesian_bm25_js_spark.sources.index_store import (
+        load_positional_index,
+        save_positional_index,
+    )
+
+    path = str(tmp_path / "pidx")
+    meta = save_positional_index(pidx, path, n_buckets=4)
+    assert meta["n_docs"] == pidx.n_docs
+    loaded = load_positional_index(spark, path, cache=False)
+    assert loaded.avgdl == pidx.avgdl and loaded.method == pidx.method
+
+    phrases = [["hash", "join"], ["table", "scan"]]
+    a = phrase_topk(pidx, phrases, k=5).orderBy("query_id", "rank").collect()
+    b = phrase_topk(loaded, phrases, k=5).orderBy("query_id", "rank").collect()
+    assert a == b
+    pa = proximity_topk(pidx, PROX_QUERIES, 4, k=5).orderBy(
+        "query_id", "rank"
+    ).collect()
+    pb = proximity_topk(loaded, PROX_QUERIES, 4, k=5).orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert pa == pb
+
+    # version gate: a stale format must fail loudly
+    import json as _json
+
+    mp = f"{path}/positional_meta.json"
+    m = _json.load(open(mp))
+    m["positional_format"] = 0
+    _json.dump(m, open(mp, "w"))
+    with pytest.raises(ValueError, match="format"):
+        load_positional_index(spark, path)

@@ -189,3 +189,43 @@ def test_postings_scan_excludes_idf(spark, idx):
     assert wscans, "no postings InMemoryTableScan found in wand plan"
     for names in wscans:
         assert "idf" not in names, names
+
+
+def test_topk_phase1_single_fine_exchange(spark, idx):
+    """Phase-1 top-k repartitions on exactly the window keys at 4x the
+    shuffle grain: the window must reuse that exchange (no second
+    shuffle of the full scored stream) — the 2 GB/batch sort-spill fix
+    depends on both properties."""
+    scores = score_queries(idx, queries_to_df(spark, [["cat", "dog"]]))
+    base = count_exchanges(scores)
+    ranked = top_k(scores, 3)
+    # phase-1 repartition + phase-2 query_id exchange: exactly two on
+    # top of the scoring plan — a third would mean the window re-added
+    # its own shuffle after the explicit repartition.
+    assert count_exchanges(ranked) == base + 2, plan_string(ranked)
+    expected = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    plan = plan_string(ranked)
+    assert "hashpartitioning(query_id" in plan, plan
+    assert f", {expected})" in plan, plan
+
+
+def test_wand_join_chains_small_broadcasts(spark, idx):
+    """The pruning join must be two chained broadcast hash joins (token
+    side, packed survivor set) — never a tokens x blocks product
+    broadcast, whose driver-side build is the serial tail at wide
+    batches (and whose size explodes on a 1000-executor cluster)."""
+    from bayesian_bm25_js_spark.operators.compression import block_max_table
+    from bayesian_bm25_js_spark.operators.wand import wand_topk
+
+    bm = block_max_table(idx, 16).persist()
+    bm.count()
+    ranked = wand_topk(idx, queries_to_df(spark, [["cat", "dog"]]), 3, block_max=bm)
+    plan = plan_string(ranked)
+    bm.unpersist()
+    # the packed survivor key joins as its own broadcast...
+    assert "__qb" in plan, plan
+    # ...and the fat product side is gone: no single join keyed on
+    # (term/term_id, block_id) — that shape implies the tokens x blocks
+    # product table was built and broadcast.
+    for keys in re.findall(r"BroadcastHashJoin \[([^\]]*)\]", plan):
+        assert not ("term" in keys and "block_id" in keys), keys
