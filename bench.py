@@ -709,12 +709,46 @@ def _probe(fn, n_procs: int) -> float:
     return n_procs / (time.time() - t0)
 
 
+def _live_sibling_benches() -> list:
+    """Other live `python .../bench.py` processes on this box (/proc
+    scan, Linux-only). A concurrent bench — e.g. an orphaned sweep from
+    a crashed session — contends for every core AND appends rows with a
+    foreign probe signature into scaling_trials.jsonl; starting a sweep
+    over one silently corrupts both runs' evidence."""
+    me = os.getpid()
+    sibs = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == me:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                argv = f.read().decode(errors="replace").split("\0")
+        except OSError:
+            continue
+        if (
+            len(argv) >= 2
+            and "python" in os.path.basename(argv[0])
+            and argv[1].endswith("bench.py")
+        ):
+            sibs.append(f"pid {pid}: {' '.join(a for a in argv if a)}")
+    return sibs
+
+
 def run_scaling() -> None:
     """Interleaved subprocess trials at the configured parallelism levels
     (fresh JVM per trial, alternating order to decorrelate machine
     noise), medians reported, plus CPU and DRAM hardware-ceiling
     probes — engine efficiency is meaningful only relative to what the
     (contended, virtualized) box itself delivers."""
+    sibs = _live_sibling_benches()
+    if sibs and not os.environ.get("SCALING_IGNORE_SIBLINGS"):
+        raise SystemExit(
+            "[scaling] refusing to start: live bench.py process(es) would "
+            "contend for every core and interleave foreign rows into "
+            "BENCH/scaling_trials.jsonl:\n  "
+            + "\n  ".join(sibs)
+            + "\nkill them (or set SCALING_IGNORE_SIBLINGS=1 to override)"
+        )
     trials = int(os.environ.get("SCALING_TRIALS", "3"))
     n_files = os.environ.get("BENCH_FILES", "300000")
     # 2000-wide batches: the engine's saturating operating point at the
