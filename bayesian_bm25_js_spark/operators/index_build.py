@@ -37,6 +37,31 @@ from pyspark.sql import functions as F
 
 VALID_METHODS = ("robertson", "lucene", "atire")
 
+# Scoring-agg combine budget: (query, matched-doc) hash-map entries one
+# task can hold without spilling unified memory (profiled: 1.9M entries
+# per task spilled ~10 GB/batch; ~470k stayed in memory with headroom
+# at 64 B/entry). Shared with the scorer's spill-safe batch chunker.
+SPILL_FREE_ENTRIES_PER_TASK = 5_000_000
+# The engine's saturating query-batch width (tools/width_sweep.py) —
+# the standing-batch assumption the default layout is sized for.
+DESIGN_BATCH_WIDTH = 2000
+
+
+def layout_grain(base_partitions: int, parallelism: int, n_docs: int) -> int:
+    """Default partition count for the CACHED postings layout.
+
+    Inverts the combine-state rule: a DESIGN_BATCH_WIDTH-query batch
+    holds ~width x n_docs / layout entries per scoring-agg task, which
+    must stay under SPILL_FREE_ENTRIES_PER_TASK. Floored at the shuffle
+    grain (a FIXED 4x-finer layout measured 24% slower on a 50k-doc
+    corpus: tiny partitions with AQE off in query mode can't coalesce)
+    and capped at 4x max(shuffle, cores) — size layout_partitions up
+    explicitly for standing batches wider than the design width."""
+    need = -(-DESIGN_BATCH_WIDTH * max(0, n_docs) // SPILL_FREE_ENTRIES_PER_TASK)
+    return int(
+        min(4 * max(base_partitions, parallelism), max(base_partitions, need))
+    )
+
 
 def idf_column(df_col, n_docs: int, method: str):
     """IDF variants (bm25.ts:90-102). robertson and lucene are
@@ -133,7 +158,9 @@ def build_inverted_index(
     (bm25.ts:82-84).
 
     layout_partitions: partition count of the CACHED postings layout,
-    default max(4 x defaultParallelism, shuffle.partitions). This is
+    default layout_grain(...) — sized from n_docs so a design-width
+    batch's scoring-agg combine map fits per-task memory, floored at
+    the shuffle grain for small corpora. This is
     deliberately decoupled from spark.sql.shuffle.partitions: build
     shuffles (tokenize explode -> tf agg) are cheapest at ~1 partition
     per core, but the query-time scoring agg combines map-side over
@@ -206,9 +233,10 @@ def build_inverted_index(
     #     instead of one per (query, doc, partition-of-term)
     #     (profiled: 107M partial rows -> 3.1M unique groups).
     if partition_by_doc:
-        n_part = layout_partitions or max(
-            4 * spark.sparkContext.defaultParallelism,
+        n_part = layout_partitions or layout_grain(
             int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            spark.sparkContext.defaultParallelism,
+            n_docs,
         )
         # sortWithinPartitions("term"): cached columnar batches then
         # cover narrow term ranges, so a query-time

@@ -193,6 +193,7 @@ class MultiFieldSparkScorer:
             ),
             k,
             round_dp=None,
+            est_rows=len(queries) * max(1, self._num_docs),
         )
         return ranked.select(
             "query_id", "rank", "doc_id", F.col("score").alias("probability")
@@ -263,6 +264,7 @@ class MultiFieldSparkScorer:
             ),
             k,
             round_dp=None,
+            est_rows=max(1, self._num_docs),
         )
         return ranked.select(
             "rank", "doc_id", F.col("score").alias("probability")

@@ -237,7 +237,11 @@ def phrase_topk(
         "score",
         idf_column(pdf, index.n_docs, index.method) * tf_norm,
     )
-    out = top_k(scored.select("query_id", "doc_id", "tf", "score"), k)
+    out = top_k(
+        scored.select("query_id", "doc_id", "tf", "score"),
+        k,
+        est_rows=len(phrases) * max(1, index.n_docs),
+    )
     return out.select(
         "query_id",
         F.col("rank").cast("int").alias("rank"),
@@ -361,7 +365,11 @@ def proximity_topk(
         "score",
         idf_column(pdf, index.n_docs, index.method) * tf_norm,
     )
-    out = top_k(scored.select("query_id", "doc_id", "tf", "score"), k)
+    out = top_k(
+        scored.select("query_id", "doc_id", "tf", "score"),
+        k,
+        est_rows=len(queries) * max(1, index.n_docs),
+    )
     return out.select(
         "query_id",
         F.col("rank").cast("int").alias("rank"),

@@ -26,6 +26,7 @@ from bayesian_bm25_js_spark.operators.estimate import (
     sample_pseudo_query_scores,
 )
 from bayesian_bm25_js_spark.operators.index_build import (
+    SPILL_FREE_ENTRIES_PER_TASK,
     InvertedIndex,
     build_inverted_index,
 )
@@ -241,7 +242,7 @@ class BayesianBM25SparkScorer:
     # scales with the index's own layout grain and corpus size, so
     # fixture-sized corpora never chunk and a 10x corpus chunks 10x
     # sooner unless layout_partitions grew with it.
-    _SPILL_FREE_ENTRIES_PER_TASK = 5_000_000
+    _SPILL_FREE_ENTRIES_PER_TASK = SPILL_FREE_ENTRIES_PER_TASK
 
     def _spill_free_width(self) -> int:
         layout = self._index.postings.rdd.getNumPartitions()
@@ -255,8 +256,9 @@ class BayesianBM25SparkScorer:
     ) -> DataFrame:
         """Strategy dispatch for ONE width-capped query batch:
         -> top_k frame (query_id local to the batch)."""
+        est = len(qlists) * max(1, self._index.n_docs)
         if dense or strategy == "exhaustive":
-            return top_k(self._score(qlists, dense), k)
+            return top_k(self._score(qlists, dense), k, est_rows=est)
         from bayesian_bm25_js_spark.operators.wand import auto_topk, wand_topk
 
         if strategy == "wand":
@@ -265,6 +267,7 @@ class BayesianBM25SparkScorer:
             return wand_topk(
                 self._index, qdf, k,
                 block_max=self._block_max_cached(), terms_filter=terms,
+                est_rows=est,
             )
         # provider keeps block-max construction lazy: batches the
         # router sends to the exhaustive path never build it

@@ -238,6 +238,13 @@ def densify_scores(
     )
 
 
+# Phase-1 grain target: rows one phase-1 task can sort entirely in
+# execution memory without spilling (profiled: ~1.9M rows/task spilled
+# ~2 GB at 2000 queries x 300k docs x 32 partitions; 470k/task at 128
+# partitions stayed in memory with headroom).
+P1_TARGET_ROWS = 500_000
+
+
 def top_k(
     scores: DataFrame,
     k: int,
@@ -245,6 +252,7 @@ def top_k(
     salt: int = 64,
     round_dp: Optional[int] = 6,
     phase1_partitions: Optional[int] = None,
+    est_rows: Optional[int] = None,
 ) -> DataFrame:
     """Per-query top-k with the mandatory (desc score, asc doc_id)
     tie-break (bm25.ts:139-144 via JS stable sort).
@@ -276,18 +284,31 @@ def top_k(
         # groups; at the default shuffle grain (~1 partition per core)
         # each task sorts scored_rows/partitions rows and spills
         # (measured: 2 GB/batch at 2000 queries x 300k docs x 32
-        # partitions). Pin this one exchange 4x finer — an explicit
-        # hash repartition on exactly the window keys, so the window
-        # adds NO second exchange — and the per-task sort fits in
-        # execution memory. 4 x shuffle.partitions is level-invariant
-        # (a config constant, not a core count): every local[N] level
-        # of the scaling sweep runs the identical plan.
+        # partitions). Pin this one exchange explicitly on exactly the
+        # window keys, so the window adds NO second exchange, and pick
+        # its grain from est_rows (callers pass the driver-known upper
+        # bound n_queries x n_docs): coarse (= shuffle.partitions) when
+        # the stream fits one sort per task, up to 4x finer when it
+        # would spill. A FIXED 4x grain measured 1.8x slower on narrow
+        # batches (200 queries x 50k docs: tiny fine partitions with
+        # AQE off can't coalesce); without est_rows the scale-safe 4x
+        # is kept. The grain is a pure function of (est_rows, config),
+        # never of core count — every local[N] level of the scaling
+        # sweep runs the identical plan (the cap argument requires it).
         scores = scores.withColumn(
             "__slice", F.pmod(F.xxhash64("doc_id"), F.lit(salt))
         )
-        n_p1 = phase1_partitions or 4 * int(
+        base = int(
             scores.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
+        if phase1_partitions is not None:
+            n_p1 = phase1_partitions
+        elif est_rows is None:
+            n_p1 = 4 * base
+        else:
+            n_p1 = base * min(
+                4, max(1, -(-int(est_rows) // (P1_TARGET_ROWS * base)))
+            )
         scores = scores.repartition(n_p1, "query_id", "__slice")
         w1 = Window.partitionBy("query_id", "__slice").orderBy(*order)
         scores = scores.withColumn("__r1", F.row_number().over(w1)).filter(

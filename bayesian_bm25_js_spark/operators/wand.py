@@ -377,6 +377,7 @@ def auto_topk(
                     terms_filter=hot_terms,
                 ),
                 k,
+                est_rows=len(hot_ids) * index.n_docs,
             )
         )
     if rare_ids:
@@ -394,10 +395,15 @@ def auto_topk(
                 block_size=block_size,
                 exact_order=exact_order,
                 terms_filter=rare_terms,
+                est_rows=len(rare_ids) * index.n_docs,
             )
         )
     if not parts:
-        return top_k(score_queries(index, queries_to_df(index.spark, queries)), k)
+        return top_k(
+            score_queries(index, queries_to_df(index.spark, queries)),
+            k,
+            est_rows=len(queries) * index.n_docs,
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -414,6 +420,7 @@ def wand_topk(
     exact_order: bool = False,
     terms_filter: Optional[Sequence[str]] = None,
     broadcast_survivors: bool = True,
+    est_rows: Optional[int] = None,
 ):
     """Pruned top-k: rank-identical to the exhaustive scorer under the
     engine's 6-dp rounded ranking.
@@ -425,6 +432,10 @@ def wand_topk(
     broadcast_survivors: hint-broadcast the surviving token×block side
       of the scoring join (bounded by Σ_q tokens(q)·blocks(q); disable
       at extreme batch sizes and let AQE decide).
+    est_rows: scored-stream size bound (n_queries × n_docs) for the
+      final top-k's phase-1 grain (scoring.top_k) — callers that know
+      the batch width should pass it so narrow batches keep the coarse
+      exchange.
     Returns the ranked DataFrame (query_id, doc_id, score, tf_overlap,
     dl, rank); with return_stats=True also (blocks_total, blocks_kept).
     """
@@ -548,7 +559,7 @@ def wand_topk(
         .alias("tf_overlap"),
         F.first("dl").alias("dl"),
     )
-    ranked = top_k(scores, k)
+    ranked = top_k(scores, k, est_rows=est_rows)
     if not return_stats:
         return ranked
     stats = (

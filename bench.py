@@ -307,14 +307,19 @@ def run_bench(cpus: int) -> dict:
     sc.setJobGroup("build", "index build")
     t0 = time.time()
     docs = corpus.select("doc_id", tokenize_column(F.col("content")).alias("tokens"))
+    # BENCH_LAYOUT_PARTS pins the cache layout (the scaling sweep pins
+    # 128 so every level runs one plan); unset, the engine's data-sized
+    # default (index_build.layout_grain) applies — coarse for small
+    # corpora, 4x-fine when a design-width batch would spill.
+    lp_env = os.environ.get("BENCH_LAYOUT_PARTS")
     index = build_inverted_index(
         docs, k1=1.2, b=0.75, method="lucene",
-        layout_partitions=int(os.environ.get("BENCH_LAYOUT_PARTS", "128")),
+        layout_partitions=int(lp_env) if lp_env else None,
     )
     n_postings = index.postings.count()
     bm = (
         block_max_table(index, BLOCK_SIZE)
-        .repartition(int(os.environ.get("BENCH_LAYOUT_PARTS", "128")), "term_id")
+        .repartition(index.postings.rdd.getNumPartitions(), "term_id")
         .sortWithinPartitions("term_id")
         .persist()
     )
@@ -344,11 +349,13 @@ def run_bench(cpus: int) -> dict:
     # bounded intermediates + explicit salting leave AQE only its
     # per-stage driver re-plan cost — profiled 19.6s -> 13.4s per
     # routed 1000-query batch at local[32]). Builds above keep AQE.
+    est_rows = len(workload) * n
+
     def run_wand():
         with query_mode(spark):
             ranked = wand_topk(
                 index, queries_to_df(spark, workload), 10, block_max=bm,
-                block_size=BLOCK_SIZE, terms_filter=terms,
+                block_size=BLOCK_SIZE, terms_filter=terms, est_rows=est_rows,
             )
             return calibrate(ranked, index, 1.0, 0.5, 0.05).count()
 
@@ -357,7 +364,9 @@ def run_bench(cpus: int) -> dict:
             scores = score_queries(
                 index, queries_to_df(spark, workload), terms_filter=terms
             )
-            return calibrate(top_k(scores, 10), index, 1.0, 0.5, 0.05).count()
+            return calibrate(
+                top_k(scores, 10, est_rows=est_rows), index, 1.0, 0.5, 0.05
+            ).count()
 
     def run_auto(wl):
         kw = {}
@@ -510,7 +519,9 @@ def run_bench(cpus: int) -> dict:
                     index, queries_to_df(spark, hot_wl), terms_filter=hot_terms
                 )
                 calibrate(
-                    top_k(hot_scores, 10, two_phase=two_phase), index, 1.0, 0.5, 0.05
+                    top_k(hot_scores, 10, two_phase=two_phase,
+                          est_rows=len(hot_wl) * n),
+                    index, 1.0, 0.5, 0.05,
                 ).count()
 
         timings["query_hot_salted"] = best2(lambda: hot_exhaustive(True))
@@ -566,7 +577,8 @@ def run_bench(cpus: int) -> dict:
         # varint decode — the realistic packed query pattern
         with query_mode(spark):
             calibrate(
-                top_k(score_queries(pidx, small_qdf, terms_filter=small_terms), 10),
+                top_k(score_queries(pidx, small_qdf, terms_filter=small_terms),
+                      10, est_rows=len(small_wl) * n),
                 pidx, 1.0, 0.5, 0.05,
             ).count()
         timings["packed_query_50"] = round(time.time() - t0, 3)
@@ -778,6 +790,10 @@ def run_scaling() -> None:
                 BENCH_SKIP_PACKED="1",
                 BENCH_LEAN="1",
                 BENCH_PROBE="0",
+                # protocol: pin the layout so every level (and every
+                # round) runs the identical physical plan regardless
+                # of the engine's data-sized default
+                BENCH_LAYOUT_PARTS=os.environ.get("BENCH_LAYOUT_PARTS", "128"),
                 # 8-12g is the sweet spot: bigger heaps anti-scale at 32
                 # threads in this VM (lazy page-fault storms on fresh
                 # young-gen pages).

@@ -209,6 +209,42 @@ def test_topk_phase1_single_fine_exchange(spark, idx):
     assert f", {expected})" in plan, plan
 
 
+def test_topk_phase1_grain_adapts_to_est_rows(spark, idx):
+    """The phase-1 grain is a pure function of the caller's scored-row
+    estimate: coarse (= shuffle.partitions) for narrow batches — a
+    fixed 4x grain measured 1.8x slower at 200 queries x 50k docs with
+    AQE off — and 4x finer when the stream would spill a per-task
+    sort. Never a function of core count (scaling-sweep invariance)."""
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    scores = score_queries(idx, queries_to_df(spark, [["cat", "dog"]]))
+
+    def p1_grains(df):
+        plan = plan_string(df)
+        return {
+            int(m)
+            for m in re.findall(
+                r"hashpartitioning\(query_id#\d+L?, __slice#\d+L?, (\d+)\)", plan
+            )
+        }
+
+    assert p1_grains(top_k(scores, 3, est_rows=1000)) == {base}
+    assert p1_grains(top_k(scores, 3, est_rows=10**9)) == {4 * base}
+
+
+def test_layout_grain_sizing():
+    """The default cached-postings grain is a pure function of corpus
+    size and config — coarse for small corpora (a fixed 4x layout
+    measured 24% slower at 50k docs), spill-free-fine at the protocol
+    corpus, capped at 4x, and NEVER a function of core count while
+    shuffle partitions >= cores (scaling-sweep plan invariance)."""
+    from bayesian_bm25_js_spark.operators.index_build import layout_grain
+
+    assert layout_grain(32, 32, 50_000) == 32
+    assert layout_grain(32, 32, 300_000) == 120
+    assert layout_grain(32, 32, 10_000_000) == 128
+    assert layout_grain(32, 2, 300_000) == layout_grain(32, 32, 300_000)
+
+
 def test_wand_join_chains_small_broadcasts(spark, idx):
     """The pruning join must be two chained broadcast hash joins (token
     side, packed survivor set) — never a tokens x blocks product
