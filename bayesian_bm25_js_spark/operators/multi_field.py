@@ -273,8 +273,94 @@ class MultiFieldSparkScorer:
     def add_documents(self, new_docs: DataFrame) -> "MultiFieldSparkScorer":
         """Append + rebuild per-field indexes (multi_field.ts:186-207)."""
         self._ensure_indexed()
+        if self._docs is None:
+            raise RuntimeError(
+                "add_documents requires the original docs DataFrame; this "
+                "scorer was loaded from a saved index (MultiFieldSparkScorer"
+                ".load). Rebuild from source docs to append."
+            )
         missing = [f for f in self._fields if f not in new_docs.columns]
         if missing:
             raise ValueError(f"New documents missing field(s) {missing}")
         self.index(self._docs.unionByName(new_docs.select(*self._docs.columns)))
         return self
+
+    # -- persistence -----------------------------------------------------------
+    MULTI_FIELD_FORMAT_VERSION = 1
+
+    def save(self, path: str, n_buckets: int = 32) -> dict:
+        """Persist every per-field index (save_index layout under
+        <path>/fields/<field>/, each with its estimated calibration)
+        plus the fusion config in <path>/multi_field_meta.json.
+        Round-trips through load() with no re-estimation."""
+        import json
+        import os
+
+        self._ensure_indexed()
+        for f in self._fields:
+            self._scorers[f].save(f"{path}/fields/{f}", n_buckets=n_buckets)
+        meta = {
+            "multi_field_format": self.MULTI_FIELD_FORMAT_VERSION,
+            "fields": self._fields,
+            "field_weights": self._field_weights,
+            "alpha": self._alpha,
+            "base_rate": self._base_rate,
+            "k1": self._k1,
+            "b": self._b,
+            "method": self._method,
+            "transform_alpha": self._transform_alpha,
+            "transform_beta": self._transform_beta,
+            "num_docs": self._num_docs,
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(f"{path}/multi_field_meta.json", "w") as fh:
+            json.dump(meta, fh, indent=2)
+        return meta
+
+    @classmethod
+    def load(
+        cls, spark, path: str, cache: bool = True
+    ) -> "MultiFieldSparkScorer":
+        """Reconstruct a queryable multi-field scorer from save():
+        per-field indexes re-enter the runtime doc_id layout (see
+        BayesianBM25SparkScorer.from_saved) and calibration params load
+        from each field's meta — fused retrieval is row-identical to
+        the pre-save scorer. add_documents requires a rebuild."""
+        import json
+        import os
+
+        meta_path = f"{path}/multi_field_meta.json"
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"no multi-field index at {path} (missing "
+                "multi_field_meta.json — was this saved with "
+                "MultiFieldSparkScorer.save?)"
+            )
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        fmt = meta.get("multi_field_format") or 0
+        if fmt != cls.MULTI_FIELD_FORMAT_VERSION:
+            raise ValueError(
+                f"multi-field index at {path} has format {fmt}; this build "
+                f"reads {cls.MULTI_FIELD_FORMAT_VERSION} — re-run save() "
+                "with the current code"
+            )
+        scorer = cls(
+            meta["fields"],
+            field_weights=meta["field_weights"],
+            alpha=meta["alpha"],
+            base_rate=meta["base_rate"],
+            k1=meta["k1"],
+            b=meta["b"],
+            method=meta["method"],
+            transform_alpha=meta["transform_alpha"],
+            transform_beta=meta["transform_beta"],
+        )
+        scorer._scorers = {
+            f: BayesianBM25SparkScorer.from_saved(
+                spark, f"{path}/fields/{f}", cache=cache
+            )
+            for f in meta["fields"]
+        }
+        scorer._num_docs = meta["num_docs"]
+        return scorer

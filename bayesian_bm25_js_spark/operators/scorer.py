@@ -196,8 +196,90 @@ class BayesianBM25SparkScorer:
         (scorer.ts:453-459). New docs must carry doc_ids continuing the
         existing range."""
         self._ensure_indexed()
+        if self._docs is None:
+            raise RuntimeError(
+                "add_documents requires the original docs DataFrame; this "
+                "scorer was loaded from a saved index (from_saved). Rebuild "
+                "from source docs, or use the streaming delta-pile path "
+                "(streaming.index_ingest) for incremental maintenance."
+            )
         self.index(self._docs.unionByName(new_docs))
         return self
+
+    # -- persistence -----------------------------------------------------------
+    def save(
+        self, path: str, n_buckets: int = 32, packed: bool = False,
+        block_size: int = 128,
+    ) -> dict:
+        """Persist index + estimated calibration under <path>/ (the
+        save_index layout: term-bucketed parquet, meta.json carrying
+        the transform params). Round-trips through from_saved with no
+        re-estimation."""
+        from bayesian_bm25_js_spark.sources.index_store import save_index
+
+        self._ensure_indexed()
+        t = self._transform
+        return save_index(
+            self._index,
+            path,
+            transform_params={
+                "alpha": t.alpha, "beta": t.beta, "base_rate": t.base_rate,
+            },
+            n_buckets=n_buckets,
+            packed=packed,
+            block_size=block_size,
+        )
+
+    @classmethod
+    def from_saved(
+        cls,
+        spark: SparkSession,
+        path: str,
+        packed: bool = False,
+        cache: bool = True,
+        layout_partitions: Optional[int] = None,
+    ) -> "BayesianBM25SparkScorer":
+        """Reconstruct a queryable scorer from a save()d index: no
+        re-estimation, rank/probability-identical retrieval.
+
+        Row layout (packed=False): the term-bucketed on-disk postings
+        are re-partitioned into the runtime doc_id layout at the same
+        data-sized grain a fresh build picks (layout_grain), sorted by
+        term_id within partitions, and cached — the scoring agg then
+        combines map-side exactly as after build_inverted_index.
+        Packed layout: left on its decode-on-scan plan (persisting the
+        decoded stream would defeat the packed store; term In-filters
+        still prune row groups pre-decode)."""
+        import dataclasses
+
+        from bayesian_bm25_js_spark.operators.index_build import layout_grain
+        from bayesian_bm25_js_spark.sources.index_store import (
+            load_index,
+            load_packed_index,
+        )
+
+        loader = load_packed_index if packed else load_index
+        index, params = loader(spark, path)
+        if not packed:
+            n_part = layout_partitions or layout_grain(
+                int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+                spark.sparkContext.defaultParallelism,
+                index.n_docs,
+            )
+            postings = index.postings.repartition(
+                n_part, "doc_id"
+            ).sortWithinPartitions("term_id")
+            if cache:
+                postings = postings.persist()
+            index = dataclasses.replace(index, postings=postings)
+        scorer = cls(k1=index.k1, b=index.b, method=index.method)
+        scorer._index = index
+        scorer._transform = BayesianProbabilityTransform(
+            params.get("alpha", 1.0),
+            params.get("beta", 0.0),
+            params.get("base_rate"),
+        )
+        return scorer
 
     # -- query ----------------------------------------------------------------
     def _score(self, queries: Sequence[Sequence[str]], dense: bool) -> DataFrame:

@@ -218,3 +218,38 @@ def test_get_probabilities_batch_matches_single(mf):
         }
         got = {d: p for (i, d), p in probs_b.items() if i == qid}
         assert got == single, q
+
+
+def test_multi_field_save_load_roundtrip(spark, mf, tmp_path):
+    """Fused retrieval from a load()ed multi-field scorer is
+    row-identical to the live one; stale formats and missing paths
+    fail loudly; add_documents on a loaded scorer raises."""
+    import json
+
+    queries = [["markov", "chains"], ["cats", "stories"]]
+    live = mf.retrieve_batch(queries, k=3).orderBy("query_id", "rank").collect()
+
+    path = str(tmp_path / "mf_idx")
+    meta = mf.save(path)
+    assert meta["fields"] == mf.fields
+
+    loaded = MultiFieldSparkScorer.load(spark, path)
+    assert loaded.field_weights == mf.field_weights
+    assert loaded.num_docs == mf.num_docs
+    got = loaded.retrieve_batch(queries, k=3).orderBy("query_id", "rank").collect()
+    assert got == live
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="load"):
+        loaded.add_documents(two_field_df(spark))
+    with _pytest.raises(ValueError, match="missing"):
+        MultiFieldSparkScorer.load(spark, str(tmp_path / "nope"))
+    mp = f"{path}/multi_field_meta.json"
+    m = json.load(open(mp))
+    m["multi_field_format"] = 99
+    json.dump(m, open(mp, "w"))
+    with _pytest.raises(ValueError, match="format"):
+        MultiFieldSparkScorer.load(spark, path)
+    for s in loaded.scorers.values():
+        s.index_.postings.unpersist()

@@ -293,3 +293,28 @@ def test_spill_free_width_scales_with_layout(spark_scorer):
     )
     assert w == expected
     assert w >= 256
+
+
+def test_scorer_save_load_roundtrip(spark, spark_scorer, tmp_path):
+    """from_saved retrieval is row-identical to the live scorer (no
+    re-estimation: transform params round-trip through meta.json), the
+    loaded postings re-enter the runtime doc_id layout, and
+    add_documents on a loaded scorer fails loudly."""
+    queries = [["cat", "dog"], ["quantum", "entanglement"]]
+    live = collect_retrieve(spark_scorer.retrieve(queries, 3))
+
+    path = str(tmp_path / "scorer_idx")
+    meta = spark_scorer.save(path)
+    assert meta["transform"]["alpha"] == spark_scorer.transform.alpha
+
+    loaded = BayesianBM25SparkScorer.from_saved(spark, path)
+    assert loaded.transform.alpha == spark_scorer.transform.alpha
+    assert loaded.transform.beta == spark_scorer.transform.beta
+    assert loaded.transform.base_rate == spark_scorer.transform.base_rate
+    assert loaded.num_docs == spark_scorer.num_docs
+    got = collect_retrieve(loaded.retrieve(queries, 3))
+    assert got == live
+
+    with pytest.raises(RuntimeError, match="from_saved"):
+        loaded.add_documents(spark_scorer._docs)
+    loaded.index_.postings.unpersist()
