@@ -266,20 +266,43 @@ def route_queries(
     vocab) — and ZERO once the batch's terms are in the index's
     driver-side df cache (index.df_lookup): a warm workload routes
     entirely at plan-construction time."""
+    all_ids = list(range(len(queries)))
+    prunable, _ = estimate_prunable_volume(index, queries, hot_df_frac)
+    if prunable < min_prunable_postings:
+        return all_ids, []
+    return [], all_ids
+
+
+def estimate_prunable_volume(
+    index: InvertedIndex,
+    queries,
+    hot_df_frac: float = 0.10,
+    avoidable_frac: float = 0.8,
+) -> tuple:
+    """-> (proxy avoidable posting volume, prunable query ids): the
+    router's estimator of how much scoring fan-out WAND could skip for
+    this batch. Queries whose every term is ubiquitous (min df >=
+    hot_df_frac * n_docs) contribute nothing (their kept fraction ~1);
+    the rest contribute avoidable_frac of their df sum. ONE bounded
+    driver action at most (df cache, index.df_lookup).
+
+    This function is the single source of truth for the proxy: the
+    floor the estimate is compared against must be fitted in the SAME
+    units (fit_router_floor's proxy_volume arg) — r4 found a 1.35x
+    routing miss at 100k docs/200 queries from the fit using full
+    batch volume x (1-kept) while the router compared this (smaller)
+    prunable-only proxy against it."""
     df_by_term = index.df_lookup([t for q in queries for t in q])
     thresh = float(hot_df_frac) * index.n_docs
-    all_ids = list(range(len(queries)))
     prunable_ids = [
         qid
         for qid, q in enumerate(queries)
         if any(df_by_term[t] < thresh for t in q if t in df_by_term)
     ]
-    prunable = 0.8 * sum(
+    prunable = avoidable_frac * sum(
         df_by_term.get(t, 0) for i in prunable_ids for t in queries[i]
     )
-    if prunable < min_prunable_postings:
-        return all_ids, []
-    return [], all_ids
+    return prunable, prunable_ids
 
 
 def fit_router_floor(
@@ -289,6 +312,7 @@ def fit_router_floor(
     kept_frac: float,
     safety: float = 1.0,
     default: int = 50_000_000,
+    proxy_volume: Optional[float] = None,
 ) -> int:
     """Fit min_prunable_postings from one measured pair of branch
     timings on the SAME workload (the bench measures both), replacing
@@ -297,8 +321,17 @@ def fit_router_floor(
     Cost model: exhaustive ≈ c_e·V (V = Σ df over batch tokens);
     WAND ≈ a_w + c_e·kept·V, so its fixed overhead is
     a_w = t_wand − c_e·kept·V. WAND wins when the avoided volume
-    V·(1−kept) exceeds a_w/c_e — that quotient IS the floor the
-    router compares its prunable-volume estimate against.
+    V·(1−kept) exceeds a_w/c_e.
+
+    proxy_volume: the router does NOT observe V·(1−kept) — it compares
+    its own estimate (estimate_prunable_volume: avoidable_frac x
+    prunable-query df sum, a smaller number) against the floor. Pass
+    the estimator's value for THIS fit workload and the floor is
+    rescaled into proxy units, keeping the decision sign-consistent
+    with the measured timings at the fit point (without it, a batch
+    where WAND measured faster can still route exhaustive — seen at
+    100k docs / 200 queries: proxy 10.1M < unscaled floor 10.7M while
+    the model's avoided volume was 13.1M).
 
     Degenerate inputs (no volume, non-positive timings) fall back to
     `default`; a_w ≤ 0 (WAND strictly dominating) returns 0 so every
@@ -309,7 +342,11 @@ def fit_router_floor(
     a_w = wand_seconds - c_e * kept_frac * batch_volume
     if a_w <= 0:
         return 0
-    return int(safety * a_w / c_e)
+    floor = a_w / c_e
+    avoided = (1.0 - kept_frac) * batch_volume
+    if proxy_volume is not None and avoided > 0:
+        floor *= proxy_volume / avoided
+    return int(safety * floor)
 
 
 def auto_topk(

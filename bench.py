@@ -422,16 +422,23 @@ def run_bench(cpus: int) -> dict:
         # just measured (fit_router_floor docstring has the model):
         # the routed legs below run with THIS box's constants, not the
         # hand-calibrated 50M default.
-        from bayesian_bm25_js_spark.operators.wand import fit_router_floor
+        from bayesian_bm25_js_spark.operators.wand import (
+            estimate_prunable_volume,
+            fit_router_floor,
+        )
 
         dfs = index.df_lookup([t for q in workload for t in q])
         batch_volume = sum(dfs.get(t, 0) for q in workload for t in q)
+        # fit in the router's OWN proxy units (the estimator it will
+        # compare the floor against), not raw avoided volume
+        proxy, _ = estimate_prunable_volume(index, workload)
         router_floor = fit_router_floor(
             query_s, timings["query_exhaustive"], batch_volume,
-            blocks_kept_frac or 0.2,
+            blocks_kept_frac or 0.2, proxy_volume=proxy,
         )
-        log(f"[bench] router floor fitted: {router_floor} avoided postings "
-            f"(batch volume {batch_volume}, kept {blocks_kept_frac})")
+        log(f"[bench] router floor fitted: {router_floor} proxy postings "
+            f"(batch volume {batch_volume}, proxy {proxy:.0f}, "
+            f"kept {blocks_kept_frac})")
 
     # selectivity-routed flagship: per-query WAND vs salted-exhaustive
     sc.setJobGroup("query_auto", "warm routed queries")

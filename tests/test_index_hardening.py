@@ -377,6 +377,24 @@ def test_fit_router_floor():
     # degenerate measurements fall back to the default constant
     assert fit_router_floor(0.0, 2.0, 1000, 0.2) == 50_000_000
     assert fit_router_floor(2.0, 2.0, 0, 0.2) == 50_000_000
+    # proxy rescale: the router compares its (smaller) prunable-only
+    # estimate against the floor, so the floor must shrink by
+    # proxy/avoided — decision stays sign-consistent with the timings
+    # at the fit point. The r4 miss shape: wand 5.32s < exhaustive
+    # 7.19s over V=16.57M, kept 0.207, proxy 10.09M — unscaled floor
+    # (8.83M < proxy: fine here, but the 3.34/2.84 session read 10.67M
+    # > proxy and mis-routed); scaled floor must sit BELOW the proxy
+    # whenever wand measured faster.
+    v, kept, proxy = 16_568_866, 0.2072, 10_091_163
+    scaled = fit_router_floor(5.32, 7.19, v, kept, proxy_volume=proxy)
+    assert scaled < proxy
+    unscaled = fit_router_floor(5.32, 7.19, v, kept)
+    assert scaled == int(unscaled * proxy / ((1 - kept) * v)) or abs(
+        scaled - unscaled * proxy / ((1 - kept) * v)
+    ) <= 1
+    # and when exhaustive measured faster, the scaled floor sits ABOVE
+    # the proxy (batch routes exhaustive)
+    assert fit_router_floor(7.19, 5.32, v, kept, proxy_volume=proxy) > proxy
 
 
 def test_for_codec_roundtrip():
