@@ -132,7 +132,11 @@ def run_ab(prev_rev: str, trials: int = None) -> dict:
     time, and a contended trial is only diagnosable when the trial
     values themselves are visible next to the medians."""
     if trials is None:
-        trials = int(os.environ.get("BENCH_AB_TRIALS", "3"))
+        # 5 interleaved pairs: with 3, identical-code A/Bs measured an
+        # hour apart read 0.997 and 0.813 on the routed leg — this
+        # box's minute-scale throughput dips need more pairs for the
+        # median to converge.
+        trials = int(os.environ.get("BENCH_AB_TRIALS", "5"))
     import shutil
 
     wt = f"/tmp/bench-ab-{prev_rev}"
