@@ -334,7 +334,12 @@ class BayesianBM25SparkScorer:
         )
 
     def _scored_batch(
-        self, qlists: List[List[str]], k: int, dense: bool, strategy: str
+        self,
+        qlists: List[List[str]],
+        k: int,
+        dense: bool,
+        strategy: str,
+        router_floor: Optional[int] = None,
     ) -> DataFrame:
         """Strategy dispatch for ONE width-capped query batch:
         -> top_k frame (query_id local to the batch)."""
@@ -353,9 +358,13 @@ class BayesianBM25SparkScorer:
             )
         # provider keeps block-max construction lazy: batches the
         # router sends to the exhaustive path never build it
+        kw = {}
+        if router_floor is not None:
+            kw["min_prunable_postings"] = router_floor
         return auto_topk(
             self._index, qlists, k,
             block_max_provider=self._block_max_cached,
+            **kw,
         )
 
     def retrieve(
@@ -366,6 +375,7 @@ class BayesianBM25SparkScorer:
         dense: bool = False,
         strategy: str = "auto",
         max_batch_width: Optional[int] = None,
+        router_floor: Optional[int] = None,
     ) -> DataFrame:
         """-> (query_id, rank, doc_id, score, probability [, trace cols]).
 
@@ -382,7 +392,11 @@ class BayesianBM25SparkScorer:
         scorer when even the rarest term is ubiquitous (wand.auto_topk;
         all three strategies are rank-identical under the 6-dp policy).
         "wand" / "exhaustive" force one path. dense=True implies
-        exhaustive (pruning cannot zero-fill).
+        exhaustive (pruning cannot zero-fill). router_floor overrides
+        the router's min_prunable_postings with a box-fitted value
+        (wand.fit_router_floor with proxy_volume — fit it once from one
+        measured wand/exhaustive pair on a representative batch; the
+        floor must be in the proxy units of estimate_prunable_volume).
 
         Batch width: throughput rises with queries-per-call (the
         per-batch plan/broadcast cost amortizes) until the scoring
@@ -411,13 +425,15 @@ class BayesianBM25SparkScorer:
             from functools import reduce
 
             parts = [
-                self._scored_batch(qlists[i : i + cap], k, dense, strategy)
+                self._scored_batch(
+                    qlists[i : i + cap], k, dense, strategy, router_floor
+                )
                 .withColumn("query_id", F.col("query_id") + F.lit(i))
                 for i in range(0, len(qlists), cap)
             ]
             scored = reduce(DataFrame.unionByName, parts)
         else:
-            scored = self._scored_batch(qlists, k, dense, strategy)
+            scored = self._scored_batch(qlists, k, dense, strategy, router_floor)
         out = calibrate(
             scored,
             self._index,

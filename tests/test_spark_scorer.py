@@ -318,3 +318,16 @@ def test_scorer_save_load_roundtrip(spark, spark_scorer, tmp_path):
     with pytest.raises(RuntimeError, match="from_saved"):
         loaded.add_documents(spark_scorer._docs)
     loaded.index_.postings.unpersist()
+
+
+def test_retrieve_router_floor_passthrough(spark_scorer):
+    """router_floor reaches the router: floor 0 forces the whole batch
+    through WAND, a huge floor forces exhaustive — results identical
+    either way (rank identity under the 6-dp policy)."""
+    queries = [["cat", "dog"], ["quantum", "moon"]]
+    a = collect_retrieve(spark_scorer.retrieve(queries, 3, router_floor=0))
+    b = collect_retrieve(
+        spark_scorer.retrieve(queries, 3, router_floor=10**12)
+    )
+    c = collect_retrieve(spark_scorer.retrieve(queries, 3))
+    assert a == b == c
