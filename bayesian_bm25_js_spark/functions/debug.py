@@ -457,6 +457,80 @@ class FusionDebugger:
         lines.append(f"           -> final={f.fused_probability:.3f}")
         return "\n".join(lines)
 
+    def format_not(self, trace: NotTrace) -> str:
+        """Human-readable NOT trace (debug.ts:229-240)."""
+        p, c = trace.input_probability, trace.complement
+        name = trace.input_name
+        li, lc = trace.logit_input, trace.logit_complement
+        return "\n".join(
+            [
+                f"  [NOT {name}]",
+                f"    P({name}) = {p:.3f}",
+                f"    P(NOT {name}) = 1 - {p:.3f} = {c:.3f}",
+                f"    logit({p:.3f}) = {'+' if li >= 0 else ''}{li:.3f}",
+                f"    logit({c:.3f}) = {'+' if lc >= 0 else ''}{lc:.3f}"
+                "  (sign flipped)",
+            ]
+        )
+
+    def format_comparison(self, comparison: ComparisonResult) -> str:
+        """Side-by-side comparison table (debug.ts:753-829): per-signal
+        probabilities and deltas, the fused row, rank order, dominant
+        signal, and the crossover note when a signal disagreed with the
+        final ordering."""
+        a, b = comparison.doc_a, comparison.doc_b
+        a_label = str(a.doc_id) if a.doc_id is not None else "doc_a"
+        b_label = str(b.doc_id) if b.doc_id is not None else "doc_b"
+        lines = [f"Comparison: {a_label} vs {b_label}"]
+        lines.append(
+            f"  {'Signal':<12} {a_label:>8}  {b_label:>8}"
+            f"  {'delta':>8}   dominant"
+        )
+        for name, delta in comparison.signal_deltas.items():
+            prob_a = self._signal_probability(a, name)
+            prob_b = self._signal_probability(b, name)
+            marker = (
+                "   <-- largest" if name == comparison.dominant_signal else ""
+            )
+            delta_str = ("+" if delta >= 0 else "") + f"{delta:.3f}"
+            lines.append(
+                f"  {name:<12} {prob_a:>8.3f}  {prob_b:>8.3f}"
+                f"  {delta_str:>8}{marker}"
+            )
+        fused_delta = a.final_probability - b.final_probability
+        fused_str = ("+" if fused_delta >= 0 else "") + f"{fused_delta:.3f}"
+        lines.append(
+            f"  {'Fused':<12} {a.final_probability:>8.3f}"
+            f"  {b.final_probability:>8.3f}  {fused_str:>8}"
+        )
+        lines.append("")
+        if fused_delta > 0:
+            lines.append(
+                f"  Rank order: {a_label} > {b_label} (by +{fused_delta:.3f})"
+            )
+        elif fused_delta < 0:
+            lines.append(
+                f"  Rank order: {b_label} > {a_label} (by +{abs(fused_delta):.3f})"
+            )
+        else:
+            lines.append("  Rank order: tied")
+        dom = comparison.dominant_signal
+        dom_delta = comparison.signal_deltas[dom]
+        favored = a_label if dom_delta >= 0 else b_label
+        dom_str = ("+" if dom_delta >= 0 else "") + f"{dom_delta:.3f}"
+        lines.append(
+            f"  Dominant signal: {dom} ({dom_str} in {favored}'s favor)"
+        )
+        if comparison.crossover_stage is not None:
+            cross = comparison.crossover_stage
+            cross_delta = comparison.signal_deltas[cross]
+            cross_favored = a_label if cross_delta >= 0 else b_label
+            lines.append(
+                f"  Note: {cross} favored {cross_favored},"
+                f" but {dom} signal outweighed it"
+            )
+        return "\n".join(lines)
+
     def format_summary(self, trace: DocumentTrace) -> str:
         doc_label = str(trace.doc_id) if trace.doc_id is not None else "unknown"
         parts = []

@@ -326,7 +326,7 @@ def pack_postings(
 
     if pack_by == "range":
         with_block = index.postings.withColumn(
-            "block_id", F.floor(F.col("doc_id") / block_size).cast("int")
+            "block_id", F.floor(F.col("doc_id") / block_size).cast("long")
         )
     else:
         from pyspark.sql.window import Window
@@ -360,7 +360,7 @@ def pack_postings(
                 "block_id",
                 F.floor(
                     (F.col("__off") + F.row_number().over(w_in) - 1) / block_size
-                ).cast("int"),
+                ).cast("long"),
             )
             .drop("__slice", "__off")
         )
@@ -491,7 +491,9 @@ def block_max_table(
     )
     return (
         index.postings.withColumn(
-            "block_id", F.floor(F.col("doc_id") / block_size).cast("int")
+            # long: block ids reach n_docs // block_size, which outgrows
+            # int32 past ~2.7e11 docs (ADVICE r4)
+            "block_id", F.floor(F.col("doc_id") / block_size).cast("long")
         )
         .groupBy(*keys)
         .agg(

@@ -73,6 +73,7 @@ class BayesianBM25SparkScorer:
         self._docs: Optional[DataFrame] = None
         self._transform: Optional[BayesianProbabilityTransform] = None
         self._block_max: Optional[DataFrame] = None
+        self._layout_parts: Optional[int] = None
 
     # -- state accessors -----------------------------------------------------
     @property
@@ -132,6 +133,7 @@ class BayesianBM25SparkScorer:
         self._index = build_inverted_index(
             docs, k1=self.k1, b=self.b, method=self.method
         )
+        self._layout_parts = None
 
         need_estimation = (
             self._user_alpha is None
@@ -327,10 +329,15 @@ class BayesianBM25SparkScorer:
     _SPILL_FREE_ENTRIES_PER_TASK = SPILL_FREE_ENTRIES_PER_TASK
 
     def _spill_free_width(self) -> int:
-        layout = self._index.postings.rdd.getNumPartitions()
+        # layout partition count memoized per index: .rdd on a cached
+        # packed/complex plan re-triggers driver-side RDD conversion,
+        # pure plan-time overhead when paid on EVERY retrieve()
+        # (ADVICE r4). Invalidated wherever self._index is replaced.
+        if self._layout_parts is None:
+            self._layout_parts = self._index.postings.rdd.getNumPartitions()
         docs = max(1, self._index.n_docs)
         return max(
-            256, int(self._SPILL_FREE_ENTRIES_PER_TASK * layout / docs)
+            256, int(self._SPILL_FREE_ENTRIES_PER_TASK * self._layout_parts / docs)
         )
 
     def _scored_batch(

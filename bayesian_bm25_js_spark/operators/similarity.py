@@ -397,7 +397,11 @@ def ivf_recall(
         "query_id", "vec_id"
     )
     denom = exact.count()  # k * n_queries (fewer if corpus < k)
-    out: dict = {"n_queries": int(denom / max(k, 1))}
+    # actual query count, not denom/k — the division undercounts
+    # whenever the corpus holds fewer than k vectors (ADVICE r4)
+    out: dict = {
+        "n_queries": int(queries.select("query_id").distinct().count())
+    }
     for np_ in n_probes:
         got = ivf_topk(assigned, centroids, queries, k=k, n_probe=np_).select(
             "query_id", "vec_id"

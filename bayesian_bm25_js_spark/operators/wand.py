@@ -169,7 +169,8 @@ def wand_thresholds(
 
 
 def _fused_survivors(
-    block_max: DataFrame, query_terms: DataFrame, k: int
+    block_max: DataFrame, query_terms: DataFrame, k: int,
+    with_stats: bool = False,
 ) -> DataFrame:
     """bounds → τ → surviving blocks in ONE shuffle + one Arrow pass.
 
@@ -189,6 +190,12 @@ def _fused_survivors(
     and ROUND_SLACK (1e-6, one ranking quantum) dwarfs them, so the
     pruned ≡ exhaustive guarantee is unaffected (verified by the
     wand-vs-exhaustive parity tests and the bm25_wand_topk oracle).
+
+    with_stats=True: emit blocks_total alongside each kept block (plus
+    one null-block_id marker row for queries keeping nothing) so
+    return_stats measures the PRODUCTION kernel, not a parallel
+    re-derivation (ADVICE r4: the stats path must not validate a path
+    the default query never runs).
     """
     import pandas as pd
 
@@ -220,16 +227,27 @@ def _fused_survivors(
                 taus.append(float(f.loc[crossing, "min_contrib"].max()))
         tau = max(taus) if taus else float("-inf")
         kept = ub[ub.to_numpy() >= tau - ROUND_SLACK]
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "query_id": pdf["query_id"].iloc[0],
-                "block_id": kept.index.to_numpy(),
+                "block_id": kept.index.to_numpy().astype("int64"),
             }
         )
+        if with_stats:
+            out["blocks_total"] = len(ub)
+            if not len(out):
+                # marker row so zero-keep queries still report a total
+                out = pd.DataFrame(
+                    {"query_id": [pdf["query_id"].iloc[0]],
+                     "block_id": pd.array([None], dtype="Int64"),
+                     "blocks_total": [len(ub)]}
+                )
+        return out
 
-    return qb.groupBy("query_id").applyInPandas(
-        kernel, "query_id long, block_id int"
+    schema = "query_id long, block_id long" + (
+        ", blocks_total long" if with_stats else ""
     )
+    return qb.groupBy("query_id").applyInPandas(kernel, schema)
 
 
 def route_queries(
@@ -447,6 +465,15 @@ def auto_topk(
     return out
 
 
+def _survivor_pack_shift(n_docs: int, block_size: int) -> int:
+    """Bits reserved for block_id in the packed (query_id << shift) +
+    block_id survivor key: enough for the largest possible block_id of
+    THIS index, never fewer than the historical 32. The remaining
+    63 - shift bits bound the batch-local query_id range — checked so a
+    too-wide batch fails loudly instead of colliding keys silently."""
+    return max(32, (max(1, n_docs) // block_size).bit_length() + 1)
+
+
 def wand_topk(
     index: InvertedIndex,
     query_terms: DataFrame,
@@ -458,6 +485,7 @@ def wand_topk(
     terms_filter: Optional[Sequence[str]] = None,
     broadcast_survivors: bool = True,
     est_rows: Optional[int] = None,
+    fused: bool = True,
 ):
     """Pruned top-k: rank-identical to the exhaustive scorer under the
     engine's 6-dp rounded ranking.
@@ -473,8 +501,14 @@ def wand_topk(
       final top-k's phase-1 grain (scoring.top_k) — callers that know
       the batch width should pass it so narrow batches keep the coarse
       exchange.
+    fused: True (default) runs the bounds/τ/survivor phases as ONE
+      applyInPandas exchange (_fused_survivors); False forces the
+      pure-Catalyst phases (_bounds_and_tau) — an explicit A/B knob
+      (was the invisible WAND_FUSED env switch; both paths are
+      rank-identical and tested).
     Returns the ranked DataFrame (query_id, doc_id, score, tf_overlap,
-    dl, rank); with return_stats=True also (blocks_total, blocks_kept).
+    dl, rank); with return_stats=True also (blocks_total, blocks_kept)
+    measured on the SAME survivor path the ranking used.
     """
     if block_max is None:
         block_max = block_max_table(index, block_size)
@@ -492,15 +526,29 @@ def wand_topk(
     if terms_filter is not None:
         block_max = _isin_key(block_max)
 
-    import os
-
-    if return_stats or os.environ.get("WAND_FUSED") == "0":
-        # stats need the full bounds table; WAND_FUSED=0 forces the
-        # pure-Catalyst phases for A/B runs
+    stats = None
+    if not fused:
         bounds, tau = _bounds_and_tau(block_max, query_terms, k)
         keep = F.col("ub") >= F.col("tau") - F.lit(ROUND_SLACK)
-        surviving = (
-            bounds.join(tau, "query_id").filter(keep).select("query_id", "block_id")
+        bt = bounds.join(tau, "query_id")
+        surviving = bt.filter(keep).select("query_id", "block_id")
+        if return_stats:
+            stats = bt.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("blocks_total"),
+                F.sum(F.when(keep, 1).otherwise(0)).alias("blocks_kept"),
+            )
+    elif return_stats:
+        # stats ride the PRODUCTION fused kernel: kept rows double as
+        # the survivor set, the per-query blocks_total rides each row
+        annotated = _fused_survivors(
+            block_max, query_terms, k, with_stats=True
+        ).persist()
+        surviving = annotated.filter(F.col("block_id").isNotNull()).select(
+            "query_id", "block_id"
+        )
+        stats = annotated.groupBy("query_id").agg(
+            F.first("blocks_total").alias("blocks_total"),
+            F.count("block_id").alias("blocks_kept"),
         )
     else:
         # production path: one fused exchange instead of ~6 small stages
@@ -539,7 +587,7 @@ def wand_topk(
 
     # Push the pruning into the scoring stage as TWO chained broadcast
     # hash joins: postings probe the (tiny, token-count-sized) query
-    # side on term_id, then the packed (query_id << 32 | block_id)
+    # side on term_id, then the packed (query_id << shift | block_id)
     # survivor set. Both probes pipeline inside one whole-stage-codegen
     # span, so a pruned (query, block) pair dies at the second probe
     # without ever materializing into the aggregation — same guarantee
@@ -549,12 +597,21 @@ def wand_topk(
     # docs; the two small sides are ~6k rows + ~8 MB packed longs).
     # Broadcasting keeps postings doc_id-partitioned -> full map-side
     # combining of the score aggregation.
-    pack = F.shiftleft(F.col("query_id"), 32) + F.col("block_id").cast("long")
+    #
+    # The shift is sized from the index itself (_survivor_pack_shift):
+    # block ids reach n_docs // block_size, which overflows the 32 low
+    # bits past ~2.7e11 docs (ADVICE r4) — so reserve exactly enough
+    # bits for the largest block_id and give query_id the rest.
+    # Batch-local query ids are bounded by the spill-free batch width
+    # (thousands), far under 2^(63-shift) even at 10^14 docs
+    # (shift 40 -> 8M ids).
+    shift = _survivor_pack_shift(index.n_docs, block_size)
+    pack = F.shiftleft(F.col("query_id"), shift) + F.col("block_id")
     if broadcast_survivors:
         surv = F.broadcast(surviving.select(pack.alias("__qb")))
         joined = (
             postings.withColumn(
-                "block_id", F.floor(F.col("doc_id") / block_size).cast("int")
+                "block_id", F.floor(F.col("doc_id") / block_size).cast("long")
             )
             .join(F.broadcast(qt), join_key)
             .withColumn("__qb", pack)
@@ -573,7 +630,7 @@ def wand_topk(
         )
         joined = (
             postings.withColumn(
-                "block_id", F.floor(F.col("doc_id") / block_size).cast("int")
+                "block_id", F.floor(F.col("doc_id") / block_size).cast("long")
             )
             .join(qt_blocks, [join_key, "block_id"])
             .select(
@@ -599,12 +656,4 @@ def wand_topk(
     ranked = top_k(scores, k, est_rows=est_rows)
     if not return_stats:
         return ranked
-    stats = (
-        bounds.join(tau, "query_id")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("blocks_total"),
-            F.sum(F.when(keep, 1).otherwise(0)).alias("blocks_kept"),
-        )
-    )
     return ranked, stats

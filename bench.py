@@ -789,7 +789,16 @@ def run_scaling() -> None:
     hw_cpu = {c: _probe(_burn_cpu, c) for c in levels}
     hw_mem = {c: _probe(_burn_mem, c) for c in levels}
     os.makedirs("BENCH", exist_ok=True)
-    open("BENCH/scaling_trials.jsonl", "w").close()  # one run per file
+    # one run per file — but the PREVIOUS sweep's raw rows are the only
+    # replay evidence for its report, so rotate instead of truncating
+    # (ADVICE r4: starting-then-aborting a sweep must not destroy them)
+    trials_path = "BENCH/scaling_trials.jsonl"
+    if os.path.exists(trials_path) and os.path.getsize(trials_path):
+        os.replace(
+            trials_path,
+            f"BENCH/scaling_trials.{int(time.time())}.jsonl",
+        )
+    open(trials_path, "w").close()
     for t in range(trials):
         for cpus in levels if t % 2 == 0 else reversed(levels):
             env = dict(
@@ -1030,4 +1039,28 @@ if __name__ == "__main__":
                     ),
                 }
             result["sf1"] = sf1
-        print(json.dumps(result))
+        # Artifact contract: the driver keeps only the LAST ~2000 chars
+        # of output and parses the final line as JSON — r4's line
+        # outgrew that (ab raw arrays + sf1 timings) and recorded
+        # "parsed": null. Full detail goes to a side file; the printed
+        # line sheds verbosity until it fits.
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/last_bench_full.json", "w") as fh:
+            json.dump(result, fh, indent=1)
+        slim = json.loads(json.dumps(result))  # deep copy
+        def _shed_ab_raw(r):
+            for leg in (r.get("ab_vs_prev", {}).get("legs") or {}).values():
+                leg.pop("raw_prev", None)
+                leg.pop("raw_cur", None)
+
+        shedders = [
+            _shed_ab_raw,
+            lambda r: (r.get("sf1") or {}).pop("timings", None),
+            lambda r: r.pop("probes", None),
+            lambda r: r.pop("queries", None),
+        ]
+        for shed in shedders:
+            if len(json.dumps(slim)) <= 1800:
+                break
+            shed(slim)
+        print(json.dumps(slim))

@@ -116,3 +116,43 @@ def test_formatting(dbg):
         assert frag in text, frag
     summary = dbg.format_summary(tr)
     assert summary.startswith("7: BM25=") and "Fused=" in summary
+
+
+def test_format_not(dbg):
+    """formatNot layout (debug.ts:229-240): complement arithmetic shown
+    inline, explicit '+' on non-negative logits, sign-flip note."""
+    out = dbg.format_not(dbg.trace_not(0.8, name="vec"))
+    lines = out.split("\n")
+    assert lines[0] == "  [NOT vec]"
+    assert lines[1] == "    P(vec) = 0.800"
+    assert lines[2] == "    P(NOT vec) = 1 - 0.800 = 0.200"
+    assert lines[3].startswith("    logit(0.800) = +1.386")
+    assert lines[4].startswith("    logit(0.200) = -1.386")
+    assert lines[4].endswith("(sign flipped)")
+
+
+def test_format_comparison(dbg):
+    """formatComparison (debug.ts:753-829): table with per-signal rows,
+    dominant marker, fused row, rank order, and the crossover note."""
+    a = dbg.trace_document(bm25_score=3.0, tf=5, doc_len_ratio=0.9,
+                           cosine_score=0.7, doc_id="a")
+    b = dbg.trace_document(bm25_score=1.0, tf=1, doc_len_ratio=1.5,
+                           cosine_score=0.9, doc_id="b")
+    cmp = dbg.compare(a, b)
+    out = dbg.format_comparison(cmp)
+    lines = out.split("\n")
+    assert lines[0] == "Comparison: a vs b"
+    assert "Signal" in lines[1] and "dominant" in lines[1]
+    bm25_row = next(l for l in lines if l.strip().startswith("BM25"))
+    assert "<-- largest" in bm25_row
+    assert any(l.strip().startswith("Fused") for l in lines)
+    assert any(l.startswith("  Rank order: a > b (by +") for l in lines)
+    assert any(l.startswith("  Dominant signal: BM25 (+") for l in lines)
+    # crossover: Vector favored b but BM25 outweighed it
+    assert any(
+        l == "  Note: Vector favored b, but BM25 signal outweighed it"
+        for l in lines
+    )
+    # tied branch
+    cmp_self = dbg.compare(a, a)
+    assert "Rank order: tied" in dbg.format_comparison(cmp_self)

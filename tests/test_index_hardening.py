@@ -478,3 +478,44 @@ def test_fused_survivors_matches_catalyst_phases(spark, rnd_index):
             for r in _fused_survivors(bm, qdf, k).collect()
         }
         assert fused == catalyst, k
+
+
+def test_fused_stats_match_catalyst_stats(spark, rnd_index):
+    """return_stats now rides the PRODUCTION fused kernel (ADVICE r4);
+    its (blocks_total, blocks_kept) must equal the Catalyst phases' —
+    including for queries that keep zero blocks (the null-marker row)
+    and unknown-term queries (no candidate blocks at all)."""
+    from bayesian_bm25_js_spark.operators.compression import block_max_table
+    from bayesian_bm25_js_spark.operators.wand import wand_topk
+
+    corpus, idx = rnd_index
+    queries = [["w0", "w1"], ["w40", "w49"], ["nope"], ["w2", "w2", "w3"]]
+    qdf = queries_to_df(spark, queries)
+    bm = block_max_table(idx, 64)
+
+    def stats_of(fused):
+        _, stats = wand_topk(
+            idx, qdf, 3, block_max=bm, block_size=64,
+            return_stats=True, fused=fused,
+        )
+        return {
+            r["query_id"]: (r["blocks_total"], r["blocks_kept"])
+            for r in stats.collect()
+        }
+
+    assert stats_of(True) == stats_of(False)
+
+
+def test_survivor_pack_shift_scales_past_int32_blocks():
+    """The packed survivor key must widen its block_id field when the
+    corpus outgrows 2^31 blocks (ADVICE r4: 10^12 docs / 128-block =
+    7.8e9 block ids > int32)."""
+    from bayesian_bm25_js_spark.operators.wand import _survivor_pack_shift
+
+    assert _survivor_pack_shift(100_000, 128) == 32  # historical layout
+    big = 10**12
+    shift = _survivor_pack_shift(big, 128)
+    max_block = big // 128
+    assert shift > 32 and max_block < (1 << shift)
+    # query ids keep a workable range even at extreme scale
+    assert (1 << (63 - shift)) >= 1_000_000
