@@ -780,6 +780,49 @@ def q_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-query parameter estimation (scorer.ts:199-446): mulberry32
+    Fisher-Yates doc sample -> first-5-token pseudo-queries -> one
+    batched scoring job -> driver NumPy estimators (alpha = 1/std,
+    beta = median, base rate by percentile / mixture-EM / elbow).
+    Oracle: golden parquet from tools/make_golden.estimation_golden —
+    an independent from-spec mirror (own PRNG, own BM25 accumulation,
+    own estimators; no engine imports)."""
+    from bayesian_bm25_js_spark.operators.estimate import (
+        estimate_base_rate,
+        estimate_parameters,
+        pseudo_query_scored_df,
+        sample_pseudo_query_scores,
+    )
+
+    idx = _index(spark, sf_dir)
+    scored = pseudo_query_scored_df(idx, _docs(spark, sf_dir))
+    per_query = sample_pseudo_query_scores(idx, scored=scored)
+    alpha, beta = estimate_parameters(per_query, None, None)
+    row = {
+        "n_pseudo_queries": len(per_query),
+        "n_scores": int(sum(len(q) for q in per_query)),
+        "alpha": float(alpha),
+        "beta": float(beta),
+        "br_percentile": estimate_base_rate(per_query, idx.n_docs, "percentile"),
+        "br_mixture": estimate_base_rate(per_query, idx.n_docs, "mixture"),
+        "br_elbow": estimate_base_rate(per_query, idx.n_docs, "elbow"),
+    }
+    df = spark.createDataFrame(
+        [tuple(row.values())],
+        "n_pseudo_queries long, n_scores long, alpha double, beta double, "
+        "br_percentile double, br_mixture double, br_elbow double",
+    )
+    return df.select(
+        "n_pseudo_queries", "n_scores",
+        F.round("alpha", 6).alias("alpha_r"),
+        F.round("beta", 6).alias("beta_r"),
+        F.round("br_percentile", 6).alias("br_percentile_r"),
+        F.round("br_mixture", 6).alias("br_mixture_r"),
+        F.round("br_elbow", 6).alias("br_elbow_r"),
+    )
+
+
 def q_multi_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-field fused retrieval (multi_field.ts:27-208) end-to-end:
     two fields derived from documents.text (title = first 5 tokens,
@@ -962,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "media_features": q_media_features,
         "media_features_real": q_media_features_real,
+        "estimation": q_estimation,
         "multi_field_topk": q_multi_field_topk,
         "temporal_weights": q_temporal_weights,
         "fusion_by_user": q_fusion_by_user,
@@ -1288,6 +1332,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, modality, f0_r, f7_r, f15_r, dim
             FROM read_parquet('/root/repo/tests/golden/media_features_real.parquet')
             ORDER BY doc_id
+        """,
+        # Parameter estimation (scorer.ts:199-446): golden from an
+        # independent from-spec NumPy mirror (tools/make_golden.py
+        # estimation_golden — own mulberry32/Fisher-Yates/BM25/
+        # estimators, zero engine imports).
+        "estimation": """
+            SELECT n_pseudo_queries, n_scores, alpha_r, beta_r,
+                   br_percentile_r, br_mixture_r, br_elbow_r
+            FROM read_parquet('/root/repo/tests/golden/estimation.parquet')
         """,
         "dense_probabilities": f"""
             WITH toks AS ({_TOKS}),

@@ -149,10 +149,21 @@ def score_queries(
     # The packed layout keeps its own vocab join (push_string_filter
     # marks it): its postings view already attaches idf post-decode,
     # and dropping the column there would not remove the join.
+    import os
+
+    # carry_idf=False (default since r5): r4 moved idf to the broadcast
+    # query side to avoid decompressing the postings cache's idf column
+    # per row, but same-session A/Bs read it as a per-batch FIXED cost
+    # (one vocab-sized term_stats scan + join per leg) with no
+    # measurable scan saving: 50k docs/200 q — warm WAND CPU 12.4s vs
+    # 8.2s with it off (-34%); 300k docs/2000 q — 374.6/382.6 vs 376.8
+    # (neutral, inside noise). Off wins or ties everywhere measured;
+    # SPARK_CARRY_IDF=1 re-enables for future A/Bs at larger shapes.
     carry_idf = (
         "idf" in postings.columns
         and index.term_stats is not None
         and not getattr(index, "push_string_filter", False)
+        and os.environ.get("SPARK_CARRY_IDF") == "1"
     )
     if carry_idf:
         # hint-broadcast the tiny query side: at 100M+ vocab the

@@ -286,7 +286,16 @@ def route_queries(
     entirely at plan-construction time."""
     all_ids = list(range(len(queries)))
     prunable, _ = estimate_prunable_volume(index, queries, hot_df_frac)
-    if prunable < min_prunable_postings:
+    decision = "exhaustive" if prunable < min_prunable_postings else "wand"
+    # diagnostic breadcrumb: the bench and tests can read WHY a batch
+    # routed where it did without re-running the estimator
+    index._last_route = {
+        "decision": decision,
+        "proxy_volume": prunable,
+        "floor": min_prunable_postings,
+        "n_queries": len(queries),
+    }
+    if decision == "exhaustive":
         return all_ids, []
     return [], all_ids
 
@@ -564,10 +573,21 @@ def wand_topk(
     # tiny query-terms DF) so the corpus-sized postings scan never
     # decompresses its denormalized idf column — same rationale and
     # packed-layout carve-out as score_queries.
+    import os
+
+    # carry_idf=False (default since r5): r4 moved idf to the broadcast
+    # query side to avoid decompressing the postings cache's idf column
+    # per row, but same-session A/Bs read it as a per-batch FIXED cost
+    # (one vocab-sized term_stats scan + join per leg) with no
+    # measurable scan saving: 50k docs/200 q — warm WAND CPU 12.4s vs
+    # 8.2s with it off (-34%); 300k docs/2000 q — 374.6/382.6 vs 376.8
+    # (neutral, inside noise). Off wins or ties everywhere measured;
+    # SPARK_CARRY_IDF=1 re-enables for future A/Bs at larger shapes.
     carry_idf = (
         "idf" in postings.columns
         and index.term_stats is not None
         and not getattr(index, "push_string_filter", False)
+        and os.environ.get("SPARK_CARRY_IDF") == "1"
     )
     if carry_idf:
         # hint-broadcast the tiny query side: at 100M+ vocab the

@@ -176,14 +176,19 @@ def run_ab(prev_rev: str, trials: int = None) -> dict:
                 log(f"[ab] trial {t} {name}: "
                     f"{runs[name][-1]['files_per_sec']} f/s, "
                     f"{runs[name][-1]['qps_top10_calibrated']} q/s")
-        med = lambda side, key: statistics.median(r[key] for r in runs[side])
+        med = lambda side, key: statistics.median(
+            r.get(key) or 0 for r in runs[side]
+        )
         legs = {}
-        for key in ("files_per_sec", "qps_top10_calibrated", "qps_wand"):
+        # cpu_s_* legs ride along as diagnostics: wall down + CPU flat
+        # means better scheduling, wall down + CPU down means less work
+        for key in ("files_per_sec", "qps_top10_calibrated", "qps_wand",
+                    "cpu_s_build", "cpu_s_query_auto", "cpu_s_query_warm"):
             p, c = med("prev", key), med("cur", key)
             legs[key] = {"prev": p, "cur": c,
                          "ratio": round(c / p, 3) if p else None,
-                         "raw_prev": [r[key] for r in runs["prev"]],
-                         "raw_cur": [r[key] for r in runs["cur"]]}
+                         "raw_prev": [r.get(key) for r in runs["prev"]],
+                         "raw_cur": [r.get(key) for r in runs["cur"]]}
         return {"rev": prev_rev, "trials": trials,
                 "n_files": int(env["BENCH_FILES"]),
                 "n_queries": int(env["BENCH_QUERIES"]), "legs": legs}
@@ -223,7 +228,8 @@ def run_sf1() -> dict:
                 "error": out.stderr.strip()[-400:] or "no output"}
     keep = ["n_files", "files_per_sec", "qps_top10_calibrated", "qps_wand",
             "wand_blocks_kept_frac", "packed_size_ratio", "cpu_s_build",
-            "cpu_s_query_auto"]
+            "cpu_s_query_auto", "route_auto", "route_proxy_volume",
+            "route_floor_used"]
     sf1 = {k: r.get(k) for k in keep}
     sf1["timings"] = r.get("queries")
     return sf1
@@ -245,7 +251,17 @@ def run_bench(cpus: int) -> dict:
     )
     from bayesian_bm25_js_spark.operators.tokenize import tokenize_column
     from bayesian_bm25_js_spark.operators.wand import auto_topk, wand_topk
-    from bayesian_bm25_js_spark.session import get_spark, query_mode
+    from bayesian_bm25_js_spark.session import get_spark
+    from bayesian_bm25_js_spark.session import query_mode as _query_mode
+
+    # BENCH_QUERY_MODE=0: perf-bisection toggle — run query legs with
+    # AQE left on instead of the query_mode AQE-off context
+    if os.environ.get("BENCH_QUERY_MODE") == "0":
+        import contextlib
+
+        query_mode = lambda _s: contextlib.nullcontext()
+    else:
+        query_mode = _query_mode
     from bayesian_bm25_js_spark.sources.corpus import synthesize_code_corpus
 
     # probes BEFORE the JVM exists (fork safety) — skipped in lean
@@ -321,13 +337,18 @@ def run_bench(cpus: int) -> dict:
         layout_partitions=int(lp_env) if lp_env else None,
     )
     n_postings = index.postings.count()
+    t_idx = time.time() - t0
+    n_layout = index.postings.rdd.getNumPartitions()
+    t_rdd = time.time() - t0 - t_idx
     bm = (
         block_max_table(index, BLOCK_SIZE)
-        .repartition(index.postings.rdd.getNumPartitions(), "term_id")
+        .repartition(n_layout, "term_id")
         .sortWithinPartitions("term_id")
         .persist()
     )
     n_blocks = bm.count()
+    log(f"[bench] build sub-phases: index {t_idx:.2f}s, rdd-parts {t_rdd:.2f}s, "
+        f"block_max {time.time() - t0 - t_idx - t_rdd:.2f}s (layout {n_layout})")
     build_s = time.time() - t0
     sc.setJobGroup("", "")
     timings["index_build"] = round(build_s, 3)
@@ -353,7 +374,9 @@ def run_bench(cpus: int) -> dict:
     # bounded intermediates + explicit salting leave AQE only its
     # per-stage driver re-plan cost — profiled 19.6s -> 13.4s per
     # routed 1000-query batch at local[32]). Builds above keep AQE.
-    est_rows = len(workload) * n
+    # BENCH_NO_EST_ROWS=1: perf-bisection toggle — leave top_k's
+    # phase-1 grain at its est_rows-free default
+    est_rows = None if os.environ.get("BENCH_NO_EST_ROWS") == "1" else len(workload) * n
 
     def run_wand():
         with query_mode(spark):
@@ -447,13 +470,16 @@ def run_bench(cpus: int) -> dict:
     # selectivity-routed flagship: per-query WAND vs salted-exhaustive
     sc.setJobGroup("query_auto", "warm routed queries")
     auto = []
-    for _ in range(3):
+    for i in range(3):
         t0 = time.time()
         run_auto(workload)
         auto.append(time.time() - t0)
+        if i == 0:
+            log(f"[bench] router decision: {getattr(index, '_last_route', None)}")
     sc.setJobGroup("", "")
     timings["query_auto"] = round(statistics.median(auto), 3)
     qps_auto = round(N_QUERIES / timings["query_auto"], 2)
+    route = getattr(index, "_last_route", None) or {}
     log(f"[bench] routed queries: median {timings['query_auto']}s = "
         f"{qps_auto} q/s (wand {query_s:.2f}s, exhaustive "
         f"{timings.get('query_exhaustive', '-')}s)")
@@ -691,6 +717,9 @@ def run_bench(cpus: int) -> dict:
         "qps_wand": qps,
         "wand_blocks_kept_frac": blocks_kept_frac,
         "router_floor_fitted": router_floor,
+        "route_auto": route.get("decision"),
+        "route_proxy_volume": route.get("proxy_volume"),
+        "route_floor_used": route.get("floor"),
         "packed_size_ratio": packed_ratio,
         "probes": probes,
         "cpu_s_build": round(cpu.get("build", 0.0), 1),
@@ -844,7 +873,7 @@ def run_scaling() -> None:
         if all(results[c] for c in levels):
             _write_scaling_report(results, levels, hw_cpu, hw_mem, t + 1,
                                   n_files, n_queries)
-    log("[scaling] -> BENCH/BASELINE.md")
+    log(f"[scaling] -> {os.environ.get('SCALING_REPORT_PATH', 'BENCH/BASELINE.md')}")
 
 
 def _write_scaling_report(results, levels, hw_cpu, hw_mem, trials,
@@ -876,7 +905,8 @@ def _write_scaling_report(results, levels, hw_cpu, hw_mem, trials,
             + " |\n"
         )
 
-    with open("BENCH/BASELINE.md", "w") as fh:
+    report_path = os.environ.get("SCALING_REPORT_PATH", "BENCH/BASELINE.md")
+    with open(report_path, "w") as fh:
         fh.write(
             "# BENCH — two-cluster-size scaling evidence (north rule)\n\n"
             "Same job, same input, at three local[N] parallelism levels —\n"

@@ -15,6 +15,7 @@ from bayesian_bm25_js_spark.operators.phrase import (
     build_positional_index,
     phrase_match,
     phrase_topk,
+    proximity_match,
 )
 
 
@@ -328,3 +329,77 @@ def test_positional_save_load_roundtrip(spark, pidx, tmp_path):
     _json.dump(m, open(mp, "w"))
     with pytest.raises(ValueError, match="format"):
         load_positional_index(spark, path)
+
+
+def test_candidate_pruning_parity(spark):
+    """The rarest-term candidate broadcast (_slot_pivot) must be purely
+    an optimization: phrase and proximity matches identical with the
+    pruning disabled (candidate_limit=0), on a corpus where one term is
+    ubiquitous and the others rare — the shape the pruning exists for."""
+    from bayesian_bm25_js_spark.operators.phrase import _slot_pivot
+
+    rng = random.Random(7)
+    corpus = []
+    for i in range(60):
+        doc = ["hot"] * rng.randint(1, 5)  # every doc has the hot term
+        if i % 9 == 0:
+            doc += ["rare", "hot", "pair"]
+        rng.shuffle(doc)
+        corpus.append(doc)
+    idx = build_positional_index(_docs_df(spark, corpus), cache=False)
+    phrases = [["hot", "pair"], ["rare"], ["hot"], ["nope", "hot"]]
+    for fn in (phrase_match, proximity_match):
+        kwargs = {"window": 4} if fn is proximity_match else {}
+        base = {
+            (r["query_id"], r["doc_id"]): r["tf"]
+            for r in fn(idx, phrases, **kwargs).collect()
+        }
+        # disable pruning via the shared frontend's limit
+        import bayesian_bm25_js_spark.operators.phrase as ph
+
+        orig = ph._slot_pivot
+        ph._slot_pivot = lambda i, s, candidate_limit=0: orig(i, s, 0)
+        try:
+            off = {
+                (r["query_id"], r["doc_id"]): r["tf"]
+                for r in fn(idx, phrases, **kwargs).collect()
+            }
+        finally:
+            ph._slot_pivot = orig
+        assert base == off, fn.__name__
+
+
+def test_min_cover_vectorized_kernel_parity():
+    """_min_cover_counts_vec must equal the two-pointer reference on
+    randomized slot-position rows (None slots, duplicate-free positions,
+    k 1-5, windows 1-100)."""
+    from bayesian_bm25_js_spark.operators.phrase import (
+        _min_cover_counts_ref,
+        _min_cover_counts_vec,
+    )
+
+    rng = random.Random(13)
+    for _ in range(120):
+        rows = []
+        for _ in range(rng.randint(1, 8)):
+            k = rng.randint(1, 5)
+            used = set()
+            lists = []
+            for s in range(k):
+                lst = []
+                for _ in range(rng.randint(1, 12)):
+                    p = rng.randint(0, 40)
+                    while p in used:
+                        p = (p + 1) % 1000
+                    used.add(p)
+                    lst.append(p)
+                lists.append(
+                    None if (rng.random() < 0.15 and k > 1) else sorted(lst)
+                )
+            if all(l is None for l in lists):
+                lists[0] = [1]
+            rows.append(lists)
+        for w in (1, 3, 8, 100):
+            ref = _min_cover_counts_ref(rows, w)
+            vec = _min_cover_counts_vec(rows, w)
+            assert (ref == vec).all(), (w, rows)

@@ -160,27 +160,37 @@ def test_packed_query_path_has_no_doc_stats_join(spark, idx, tmp_path):
     assert "term_stats" in plan, plan
 
 
-def test_postings_scan_excludes_idf(spark, idx):
-    """idf rides the broadcast query side (vocab-sized term_stats
-    lookup), so the corpus-sized postings cache scan must not
-    decompress its denormalized idf column — ~8 bytes/row of DRAM
-    traffic in the stage that dominates query CPU. Inspects the
-    EXECUTED plan's scan leaves (the cached relations' definition
-    subtrees legitimately read idf but do not re-execute per query)."""
+def test_postings_scan_idf_carry_modes(spark, idx, monkeypatch):
+    """carry_idf default (r5): OFF — the idf column is read straight
+    out of the denormalized postings cache and score_queries adds NO
+    per-batch term_stats scan (same-session A/Bs measured the carried
+    variant as a fixed per-batch cost with no scan saving: warm WAND
+    CPU 12.4s->8.2s off at 50k docs, neutral at 300k). The opt-in
+    SPARK_CARRY_IDF=1 path must still column-prune idf out of the
+    postings scan leaves — the variant a larger-shape A/B would
+    re-enable."""
     from bayesian_bm25_js_spark.plans.audit import inmemory_scan_columns
+    from bayesian_bm25_js_spark.operators.compression import block_max_table
+    from bayesian_bm25_js_spark.operators.wand import wand_topk
 
+    # default: idf comes from the cache scan
+    monkeypatch.delenv("SPARK_CARRY_IDF", raising=False)
+    scores = score_queries(idx, queries_to_df(spark, [["cat", "dog"]]))
+    scans = [c for c in inmemory_scan_columns(scores) if "tf" in c]
+    assert scans, "no postings InMemoryTableScan found in plan"
+    assert any("idf" in names for names in scans), scans
+
+    # opt-in carry: postings scan leaves are idf-free (column pruned)
+    monkeypatch.setenv("SPARK_CARRY_IDF", "1")
     scores = score_queries(idx, queries_to_df(spark, [["cat", "dog"]]))
     scans = [c for c in inmemory_scan_columns(scores) if "tf" in c]
     assert scans, "no postings InMemoryTableScan found in plan"
     for names in scans:
         assert "idf" not in names, names
 
-    from bayesian_bm25_js_spark.operators.compression import block_max_table
-    from bayesian_bm25_js_spark.operators.wand import wand_topk
-
     # persist block-max as production does: its BUILD legitimately
     # reads idf (max_contrib); cached, the wand plan's only postings
-    # scan is the scoring join side, which must be idf-free
+    # scan is the scoring join side, which must be idf-free under carry
     bm = block_max_table(idx, 16).persist()
     bm.count()
     ranked = wand_topk(idx, queries_to_df(spark, [["cat", "dog"]]), 3, block_max=bm)

@@ -332,6 +332,158 @@ def ivf_probe_golden(sf_dir: str, n_cells=8, n_iters=3, n_probe=2, k_wide=40, k=
     return out
 
 
+# ---------------------------------------------------------------------------
+# parameter estimation (scorer.ts:199-446)
+# ---------------------------------------------------------------------------
+
+def _imul32(a: int, b: int) -> int:
+    return (a * b) & 0xFFFFFFFF
+
+
+def _mulberry32_js(seed: int):
+    """mulberry32 from the reference spec (scorer.ts:47-55), re-derived
+    here with unsigned 32-bit arithmetic — congruent mod 2^32 with the
+    JS int32 ops, and the final >>> 0 makes the output unsigned. NO
+    engine imports: this mirror must fail if the engine's PRNG drifts."""
+    s = seed & 0xFFFFFFFF
+
+    def rng() -> float:
+        nonlocal s
+        s = (s + 0x6D2B79F5) & 0xFFFFFFFF
+        t = _imul32(s ^ (s >> 15), s | 1)
+        t = ((t + _imul32(t ^ (t >> 7), t | 61)) & 0xFFFFFFFF) ^ t
+        return ((t ^ (t >> 14)) & 0xFFFFFFFF) / 4294967296.0
+
+    return rng
+
+
+def _sample_without_replacement_js(n: int, size: int, rng) -> list:
+    """Fisher-Yates then head slice (scorer.ts:57-68)."""
+    arr = list(range(n))
+    for i in range(n - 1, 0, -1):
+        j = int(rng() * (i + 1))
+        arr[i], arr[j] = arr[j], arr[i]
+    return arr[:size]
+
+
+def _median_js(values: np.ndarray) -> float:
+    s = np.sort(values)
+    mid = len(s) // 2
+    if len(s) % 2 == 0:
+        return float((s[mid - 1] + s[mid]) / 2)
+    return float(s[mid])
+
+
+def estimation_golden(doc_ids, texts, k1=1.2, b=0.75):
+    """(alpha, beta, base_rate x {percentile, mixture, elbow}) for the
+    documents table — a from-spec NumPy mirror of the reference's
+    pseudo-query estimation pipeline (scorer.ts:199-446 with lucene
+    idf, bm25.ts:96-99), independent of every engine module. Scores
+    are accumulated per doc in ascending doc_id order like the
+    reference's dense score array (bm25.ts:105-126)."""
+    toks = {int(d): tokenize(t) for d, t in zip(doc_ids, texts)}
+    ordered_ids = sorted(toks)
+    n = len(ordered_ids)
+    dls = {d: len(toks[d]) for d in ordered_ids}
+    avgdl = sum(dls.values()) / n if n else 0.0
+    # postings: term -> {doc_id: tf}
+    postings: dict = {}
+    for d in ordered_ids:
+        for t in toks[d]:
+            postings.setdefault(t, {})
+            postings[t][d] = postings[t].get(d, 0) + 1
+    idf = {
+        t: math.log(1.0 + (n - len(ds) + 0.5) / (len(ds) + 0.5))
+        for t, ds in postings.items()
+    }
+
+    def bm25_scores(query):
+        scores = {d: 0.0 for d in ordered_ids}
+        for term in query:  # duplicates double-count (bm25.ts:110)
+            ds = postings.get(term)
+            if ds is None:
+                continue
+            for d, tf in ds.items():
+                tf_norm = (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * (dls[d] / avgdl))
+                )
+                scores[d] += idf[term] * tf_norm
+        return [scores[d] for d in ordered_ids]
+
+    rng = _mulberry32_js(42)
+    sample = _sample_without_replacement_js(n, min(n, 50), rng)
+    per_query = []
+    for idx in sample:
+        q = toks.get(idx, [])[:5]
+        if not q:
+            continue
+        nonzero = [s for s in bm25_scores(q) if s > 0]
+        if nonzero:
+            per_query.append(np.asarray(nonzero, dtype=np.float64))
+
+    pooled = np.concatenate(per_query)
+    beta = _median_js(pooled)
+    mean = float(np.sum(pooled)) / len(pooled)
+    std = math.sqrt(float(np.sum((pooled - mean) ** 2)) / len(pooled))
+    alpha = 1.0 / std if std > 0 else 1.0
+
+    # percentile (scorer.ts:276-300)
+    ratios = []
+    for scores in per_query:
+        s = np.sort(scores)
+        p_idx = math.ceil(len(s) * 0.95) - 1
+        threshold = s[max(0, p_idx)]
+        ratios.append(int(np.count_nonzero(scores >= threshold)) / n)
+    br_pct = max(1e-6, min(0.5, sum(ratios) / len(ratios)))
+
+    # mixture EM (scorer.ts:303-406)
+    median_val = _median_js(pooled)
+    lo = pooled[pooled <= median_val]
+    hi = pooled[pooled > median_val]
+    mu0 = float(np.mean(lo)) if len(lo) else median_val - 1.0
+    mu1 = float(np.mean(hi)) if len(hi) else median_val + 1.0
+    var0 = max(float(np.mean((lo - mu0) ** 2)) if len(lo) else 1.0, 1e-8)
+    var1 = max(float(np.mean((hi - mu1) ** 2)) if len(hi) else 1.0, 1e-8)
+    pi1, nn = 0.5, len(pooled)
+    for _ in range(20):
+        std0, std1 = math.sqrt(var0), math.sqrt(var1)
+        lp0 = -0.5 * ((pooled - mu0) / std0) ** 2 - math.log(std0)
+        lp1 = -0.5 * ((pooled - mu1) / std1) ** 2 - math.log(std1)
+        lw0 = math.log(max(1.0 - pi1, 1e-10)) + lp0
+        lw1 = math.log(max(pi1, 1e-10)) + lp1
+        ml = np.maximum(lw0, lw1)
+        gamma = np.exp(lw1 - (ml + np.log(np.exp(lw0 - ml) + np.exp(lw1 - ml))))
+        n1, n0 = float(np.sum(gamma)), float(np.sum(1.0 - gamma))
+        if n0 < 1e-8 or n1 < 1e-8:
+            break
+        mu0 = float(np.sum((1.0 - gamma) * pooled)) / n0
+        mu1 = float(np.sum(gamma * pooled)) / n1
+        var0 = max(float(np.sum((1.0 - gamma) * (pooled - mu0) ** 2)) / n0, 1e-8)
+        var1 = max(float(np.sum(gamma * (pooled - mu1) ** 2)) / n1, 1e-8)
+        pi1 = n1 / nn
+    br_mix = max(1e-6, min(0.5, pi1 if mu1 >= mu0 else 1.0 - pi1))
+
+    # elbow (scorer.ts:409-446)
+    desc = np.sort(pooled)[::-1]
+    dx = len(desc) - 1
+    dy = desc[-1] - desc[0]
+    line_len = math.sqrt(dx * dx + dy * dy)
+    i = np.arange(len(desc))
+    dist = np.abs(dy * i - dx * (desc - desc[0])) / line_len
+    knee = int(np.argmax(dist))
+    br_elbow = max(1e-6, min(0.5, max(1, knee) / len(desc)))
+
+    return {
+        "n_pseudo_queries": len(per_query),
+        "n_scores": int(len(pooled)),
+        "alpha_r": round_half_up(alpha),
+        "beta_r": round_half_up(beta),
+        "br_percentile_r": round_half_up(br_pct),
+        "br_mixture_r": round_half_up(br_mix),
+        "br_elbow_r": round_half_up(br_elbow),
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     os.makedirs(GOLDEN_DIR, exist_ok=True)
@@ -421,6 +573,16 @@ def main() -> None:
         os.path.join(GOLDEN_DIR, "proximity_topk.parquet"),
     )
     print(f"proximity_topk: {len(px)} rows")
+
+    est = estimation_golden(doc_ids, texts)
+    pq.write_table(
+        pa.table(
+            {k: pa.array([v], pa.int64() if isinstance(v, int) else pa.float64())
+             for k, v in est.items()}
+        ),
+        os.path.join(GOLDEN_DIR, "estimation.parquet"),
+    )
+    print(f"estimation: {est}")
 
 
 if __name__ == "__main__":
