@@ -49,6 +49,11 @@ from pyspark.sql import functions as F
 from bayesian_bm25_js_spark.operators.index_build import idf_column
 from bayesian_bm25_js_spark.operators.scoring import isin_filter, top_k
 
+# Corpus-size floor for the rarest-term candidate pruning (see
+# _slot_pivot): below this the pruning's two fixed driver actions cost
+# more than the whole fan-in (measured at 5k docs: 1.7s vs 1.0s).
+CANDIDATE_PRUNE_MIN_DOCS = 50_000
+
 
 class PositionalIndex(NamedTuple):
     """Positional postings + the corpus constants BM25 needs."""
@@ -174,7 +179,16 @@ def _slot_pivot(
         "query_id", "slot", "plen", "doc_id", "dl", "positions"
     )
 
-    if candidate_limit and candidate_limit > 0:
+    # Fixed cost = two extra bounded driver actions (the df lookup and
+    # the candidate-broadcast build), ~1s on the bench box; below
+    # ~50k docs the whole fan-in costs less than that (measured: 5k
+    # docs — pruned 1.7s vs unpruned 1.0s), so small corpora skip
+    # straight to the plain join.
+    if (
+        candidate_limit
+        and candidate_limit > 0
+        and index.n_docs >= CANDIDATE_PRUNE_MIN_DOCS
+    ):
         # df per batch term: column-pruned agg (term_id only — the
         # columnar scan never touches the position arrays here)
         df_rows = post.groupBy("term_id").agg(
@@ -219,7 +233,8 @@ def _slot_pivot(
 
 
 def phrase_match(
-    index: PositionalIndex, phrases: Sequence[Sequence[str]]
+    index: PositionalIndex, phrases: Sequence[Sequence[str]],
+    candidate_limit: int = 2_000_000,
 ) -> DataFrame:
     """-> (query_id, doc_id, dl, tf): docs containing each exact phrase,
     tf = number of phrase occurrences. Sparse (non-matching docs absent).
@@ -236,7 +251,7 @@ def phrase_match(
     """
     if not phrases or any(len(p) == 0 for p in phrases):
         raise ValueError("phrases must be non-empty token sequences")
-    g, max_len = _slot_pivot(index, phrases)
+    g, max_len = _slot_pivot(index, phrases, candidate_limit)
 
     # start-position set: p0 ∩ (p1 - 1) ∩ ... — slots beyond a query's
     # own length are NULL (no such slot row) and are skipped.
@@ -263,6 +278,7 @@ def phrase_topk(
     index: PositionalIndex,
     phrases: Sequence[Sequence[str]],
     k: int = 10,
+    candidate_limit: int = 2_000_000,
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, tf, score): exact-phrase BM25 top-k.
 
@@ -274,7 +290,7 @@ def phrase_topk(
     """
     from pyspark.sql.window import Window
 
-    matched = phrase_match(index, phrases)
+    matched = phrase_match(index, phrases, candidate_limit)
     pdf = F.count(F.lit(1)).over(Window.partitionBy("query_id"))
     k1, b, avgdl = F.lit(index.k1), F.lit(index.b), F.lit(index.avgdl)
     tf = F.col("tf").cast("double")
@@ -439,6 +455,7 @@ def proximity_match(
     index: PositionalIndex,
     queries: Sequence[Sequence[str]],
     window: int,
+    candidate_limit: int = 2_000_000,
 ) -> DataFrame:
     """-> (query_id, doc_id, dl, tf): docs where ALL of a query's
     distinct terms co-occur within `window` consecutive tokens, in any
@@ -459,7 +476,7 @@ def proximity_match(
     if window < 1:
         raise ValueError("window must be >= 1")
     uniq = [sorted(set(q)) for q in queries]
-    g, max_len = _slot_pivot(index, uniq)
+    g, max_len = _slot_pivot(index, uniq, candidate_limit)
     cover = _min_cover_count_udf(window)
     arr = F.array(*[F.col(f"p{i}") for i in range(max_len)])
     return (
@@ -474,6 +491,7 @@ def proximity_topk(
     queries: Sequence[Sequence[str]],
     window: int,
     k: int = 10,
+    candidate_limit: int = 2_000_000,
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, tf, score): proximity BM25 top-k.
 

@@ -54,6 +54,10 @@ BLOCK_SIZE = 128
 # wall-clock deltas that mostly measure the box — see BENCH_r02 vs
 # BENCH_r03, where engine-external probes degraded 0.757 -> 0.157
 # between sessions and every untouched leg 'regressed' 1.3-1.5x).
+# Kept at the r3 tip for round 5: r4's A/B flagged a build/routed
+# regression AGAINST THIS REV at the 50k/200 shape, so r5's artifact
+# must answer the same question against the same baseline (VERDICT r4
+# what's-wrong #1). Bump to the r5 tip next round.
 PREV_ROUND_REV = os.environ.get("BENCH_AB_REV", "f06fd35")
 
 
@@ -122,7 +126,8 @@ def measure_probes(cpus: int) -> dict:
     }
 
 
-def run_ab(prev_rev: str, trials: int = None) -> dict:
+def run_ab(prev_rev: str, trials: int = None,
+           n_files: str = None, n_queries: str = None) -> dict:
     """Same-session interleaved A/B of the previous round's code vs
     HEAD on the flagship legs (build + wand + routed queries), lean
     mode, fresh JVM per run. This is the only trustworthy
@@ -156,8 +161,8 @@ def run_ab(prev_rev: str, trials: int = None) -> dict:
             os.environ,
             BENCH_LEAN="1", BENCH_SKIP_SUITE="1", BENCH_SKIP_PACKED="1",
             BENCH_PROBE="0", BENCH_SKIP_AB="1",
-            BENCH_FILES=os.environ.get("BENCH_AB_FILES", "50000"),
-            BENCH_QUERIES=os.environ.get("BENCH_AB_QUERIES", "200"),
+            BENCH_FILES=n_files or os.environ.get("BENCH_AB_FILES", "50000"),
+            BENCH_QUERIES=n_queries or os.environ.get("BENCH_AB_QUERIES", "200"),
             SPARK_GRAFT_CPUS=str(CPUS),
         )
         runs: dict[str, list[dict]] = {"prev": [], "cur": []}
@@ -406,9 +411,13 @@ def run_bench(cpus: int) -> dict:
     t0 = time.time()
     n_results = run_wand()
     timings["query_cold"] = round(time.time() - t0, 3)
+    # BENCH_REPS: warm repetitions per timed leg (sf1-scale sweeps
+    # trade repetition count for corpus size; medians-over-trials still
+    # interleave at the sweep level)
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     sc.setJobGroup("query", "warm wand queries")
     warm = []
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.time()
         run_wand()
         warm.append(time.time() - t0)
@@ -470,7 +479,7 @@ def run_bench(cpus: int) -> dict:
     # selectivity-routed flagship: per-query WAND vs salted-exhaustive
     sc.setJobGroup("query_auto", "warm routed queries")
     auto = []
-    for i in range(3):
+    for i in range(reps):
         t0 = time.time()
         run_auto(workload)
         auto.append(time.time() - t0)
@@ -579,6 +588,62 @@ def run_bench(cpus: int) -> dict:
             f"wand {timings['query_hot_term']}s, exhaustive salted "
             f"{timings['query_hot_salted']}s vs single-window "
             f"{timings['query_hot_onephase']}s, routed {timings['query_hot_auto']}s")
+
+    # -- positional retrieval legs (hot-term shapes) ---------------------------
+    # phrase_hot: selective phrases (hot keyword + rare identifier) —
+    # the shape the rarest-term candidate pruning exists for; the
+    # _nopruned twin runs the identical workload with the candidate
+    # broadcast disabled, so the artifact carries the speedup itself.
+    # proximity_hot: two ubiquitous keywords per query — every doc
+    # matches, so the timing is dominated by the minimal-cover kernel
+    # over ~tf(hot1)+tf(hot2) events per doc (the vectorized-kernel
+    # workload, VERDICT r4 next #4).
+    if not lean:
+        from bayesian_bm25_js_spark.functions.prng import mulberry32 as _mb32
+        from bayesian_bm25_js_spark.operators.phrase import (
+            build_positional_index,
+            phrase_topk,
+            proximity_topk,
+        )
+
+        t0 = time.time()
+        pidx = build_positional_index(docs, k1=1.2, b=0.75, method="lucene")
+        pidx.postings.count()
+        timings["positional_build_synth"] = round(time.time() - t0, 3)
+        hot_kws = [r["term"] for r in index.term_stats.orderBy(F.desc("df"))
+                   .limit(8).collect()]
+        rng_p = _mb32(11)
+        hot_phrases = [
+            [hot_kws[int(rng_p() * len(hot_kws))], f"v{int(rng_p() * 50000)}"]
+            for _ in range(50)
+        ]
+        prox_hot = [
+            [hot_kws[int(rng_p() * len(hot_kws))],
+             hot_kws[int(rng_p() * len(hot_kws))]]
+            for _ in range(20)
+        ]
+
+        def best2p(fn):
+            a = []
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                a.append(time.time() - t0)
+            return round(min(a), 3)
+
+        with query_mode(spark):
+            timings["phrase_hot"] = best2p(
+                lambda: phrase_topk(pidx, hot_phrases, 10).count())
+            timings["phrase_hot_nopruned"] = best2p(
+                lambda: phrase_topk(pidx, hot_phrases, 10,
+                                    candidate_limit=0).count())
+            timings["proximity_hot"] = best2p(
+                lambda: proximity_topk(pidx, prox_hot, 8, 10).count())
+        log(f"[bench] phrase_hot {timings['phrase_hot']}s vs nopruned "
+            f"{timings['phrase_hot_nopruned']}s "
+            f"({timings['phrase_hot_nopruned']/max(timings['phrase_hot'],1e-9):.2f}x), "
+            f"proximity_hot {timings['proximity_hot']}s")
+        pidx.unpersist()
 
     # -- packed-index leg ------------------------------------------------------
     if os.environ.get("BENCH_SKIP_PACKED") != "1":
@@ -723,8 +788,8 @@ def run_bench(cpus: int) -> dict:
         "packed_size_ratio": packed_ratio,
         "probes": probes,
         "cpu_s_build": round(cpu.get("build", 0.0), 1),
-        "cpu_s_query_warm": round(cpu.get("query", 0.0) / 3, 1),
-        "cpu_s_query_auto": round(cpu.get("query_auto", 0.0) / 3, 1),
+        "cpu_s_query_warm": round(cpu.get("query", 0.0) / reps, 1),
+        "cpu_s_query_auto": round(cpu.get("query_auto", 0.0) / reps, 1),
         "cpu_s_query_pipe": round(cpu.get("query_pipe", 0.0) / 3, 1),
         **extras,
     }
@@ -1052,6 +1117,15 @@ if __name__ == "__main__":
             "BENCH_LEAN"
         ) != "1":
             result["ab_vs_prev"] = run_ab(PREV_ROUND_REV)
+            # design-shape A/B (300k files / 2000-query batches): the
+            # r4 regression was shape-dependent, so the artifact
+            # carries BOTH shapes (VERDICT r4 next #1)
+            if os.environ.get("BENCH_SKIP_AB_DESIGN") != "1":
+                result["ab_design"] = run_ab(
+                    PREV_ROUND_REV,
+                    trials=int(os.environ.get("BENCH_AB_DESIGN_TRIALS", "3")),
+                    n_files="300000", n_queries="2000",
+                )
         # sf1 scale rehearsal: same job at 10x files, fresh JVM. Ratios
         # vs this run's own legs make slope breaks self-evident.
         if os.environ.get("BENCH_SKIP_SF1") != "1" and os.environ.get(
@@ -1079,9 +1153,10 @@ if __name__ == "__main__":
             json.dump(result, fh, indent=1)
         slim = json.loads(json.dumps(result))  # deep copy
         def _shed_ab_raw(r):
-            for leg in (r.get("ab_vs_prev", {}).get("legs") or {}).values():
-                leg.pop("raw_prev", None)
-                leg.pop("raw_cur", None)
+            for ab in ("ab_vs_prev", "ab_design"):
+                for leg in (r.get(ab, {}).get("legs") or {}).values():
+                    leg.pop("raw_prev", None)
+                    leg.pop("raw_cur", None)
 
         shedders = [
             _shed_ab_raw,

@@ -44,6 +44,10 @@ def main() -> int:
     parser.add_argument("--base-rate", default=None)
     parser.add_argument("--base-rate-method", default="percentile")
     parser.add_argument("--content-col", default="content")
+    parser.add_argument("--snapshot-id", type=int, default=None,
+                        help="(--format iceberg) pin the scan to this "
+                             "snapshot for a reproducible build; default "
+                             "= current snapshot, recorded in lineage")
     parser.add_argument("--packed", action="store_true",
                         help="also write delta+varint packed postings")
     args = parser.parse_args()
@@ -56,12 +60,28 @@ def main() -> int:
     from bayesian_bm25_js_spark.sources.checkpoints import checkpointed_build
     from bayesian_bm25_js_spark.sources.index_store import save_index
 
+    snapshot_id = None
     if args.synthesize:
         from bayesian_bm25_js_spark.sources.corpus import synthesize_code_corpus
 
         corpus = synthesize_code_corpus(spark, args.synthesize)
     elif args.corpus:
-        if args.format in ("table", "iceberg"):
+        if args.format == "iceberg":
+            # DataSourceV2 scan, snapshot-pinned when --snapshot-id is
+            # given (else the current snapshot id is recorded so the
+            # build's lineage names its exact input)
+            from bayesian_bm25_js_spark.sources.iceberg import (
+                current_snapshot_id,
+                read_iceberg_corpus,
+            )
+
+            snapshot_id = args.snapshot_id or current_snapshot_id(
+                spark, args.corpus
+            )
+            corpus = read_iceberg_corpus(
+                spark, args.corpus, snapshot_id=snapshot_id
+            )
+        elif args.format == "table":
             corpus = spark.read.table(args.corpus)
         else:
             corpus = spark.read.parquet(args.corpus)
@@ -91,7 +111,8 @@ def main() -> int:
         index, f"{args.out}/index", transform_params=params, packed=args.packed
     )
     print(json.dumps({"status": "ok", "n_docs": meta["n_docs"],
-                      "avgdl": meta["avgdl"], "params": params}))
+                      "avgdl": meta["avgdl"], "params": params,
+                      "snapshot_id": snapshot_id}))
     spark.stop()
     return 0
 

@@ -348,6 +348,12 @@ def test_candidate_pruning_parity(spark):
         corpus.append(doc)
     idx = build_positional_index(_docs_df(spark, corpus), cache=False)
     phrases = [["hot", "pair"], ["rare"], ["hot"], ["nope", "hot"]]
+    import bayesian_bm25_js_spark.operators.phrase as _ph
+
+    # fixture corpora sit under the size floor; drop it so the pruned
+    # path actually executes here
+    _orig_floor = _ph.CANDIDATE_PRUNE_MIN_DOCS
+    _ph.CANDIDATE_PRUNE_MIN_DOCS = 0
     for fn in (phrase_match, proximity_match):
         kwargs = {"window": 4} if fn is proximity_match else {}
         base = {
@@ -367,6 +373,7 @@ def test_candidate_pruning_parity(spark):
         finally:
             ph._slot_pivot = orig
         assert base == off, fn.__name__
+    _ph.CANDIDATE_PRUNE_MIN_DOCS = _orig_floor
 
 
 def test_min_cover_vectorized_kernel_parity():

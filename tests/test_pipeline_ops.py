@@ -469,3 +469,21 @@ def test_real_decode_y4m_video_runs_in_container(spark):
     )
     with _pytest.raises(Exception, match="YUV4MPEG2|not integrated"):
         extract_features(bad, decode="real").collect()
+
+
+def test_iceberg_source_gated(spark):
+    """The Iceberg reader path (north-star input) is wired up to the
+    DataSourceV2 resolution point; without the runtime on the classpath
+    it must fail with the actionable setup hint, not a raw
+    ClassNotFound. Also pins the snapshot/timestamp mutual exclusion."""
+    import pytest as _pytest
+
+    from bayesian_bm25_js_spark.sources.iceberg import read_iceberg_corpus
+
+    with _pytest.raises(ValueError, match="not both"):
+        read_iceberg_corpus(spark, "cat.db.t", snapshot_id=1,
+                            as_of_timestamp_ms=2)
+    with _pytest.raises(Exception) as ei:
+        read_iceberg_corpus(spark, "cat.db.corpus", snapshot_id=123)
+    msg = str(ei.value)
+    assert "iceberg" in msg.lower(), msg
