@@ -1158,10 +1158,43 @@ if __name__ == "__main__":
                     leg.pop("raw_prev", None)
                     leg.pop("raw_cur", None)
 
+        def _shed_ab_to_ratios(r):
+            for ab in ("ab_vs_prev", "ab_design"):
+                legs = (r.get(ab, {}) or {}).get("legs") or {}
+                for name in list(legs):
+                    legs[name] = {"ratio": legs[name].get("ratio")}
+
+        def _shed_minor_query_legs(r):
+            # keep the headline timings, push the long tail of suite
+            # legs to the full-detail side file
+            keep = {"corpus_synth", "index_build", "query_warm",
+                    "query_auto", "query_exhaustive", "packed_write",
+                    "packed_query_50", "suite_index_build",
+                    "bm25_calibrated_topk", "bm25_wand_topk",
+                    "bm25_auto_topk", "phrase_topk", "proximity_topk",
+                    "phrase_hot", "phrase_hot_nopruned", "proximity_hot"}
+            q = r.get("queries") or {}
+            for key in [k for k in q if k not in keep]:
+                q.pop(key, None)
+
+        def _shed_sf1_detail(r):
+            sf1 = r.get("sf1") or {}
+            keep = {"n_files", "files_per_sec", "qps_top10_calibrated",
+                    "qps_wand", "route_auto"}
+            for key in [k for k in sf1 if k not in keep]:
+                sf1.pop(key, None)
+
         shedders = [
             _shed_ab_raw,
             lambda r: (r.get("sf1") or {}).pop("timings", None),
             lambda r: r.pop("probes", None),
+            _shed_ab_to_ratios,
+            _shed_sf1_detail,
+            lambda r: [r.pop(k, None) for k in
+                       ("ivf_recall", "route_proxy_volume",
+                        "route_floor_used", "cpu_s_query_pipe")],
+            _shed_minor_query_legs,
+            # "queries" is a contract field — last resort only
             lambda r: r.pop("queries", None),
         ]
         for shed in shedders:
