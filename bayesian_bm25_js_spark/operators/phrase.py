@@ -432,17 +432,24 @@ def _min_cover_counts_vec(rows, window: int) -> np.ndarray:
     return out
 
 
-def _min_cover_count_udf(window: int):
+def _min_cover_count_udf(window: int, counter=None):
     """Arrow-batched minimal-cover counter over pivoted slot position
     arrays (see _min_cover_counts_vec for the math and the scale
     argument; _min_cover_counts_ref pins parity in test_phrase). The
     heavy filtering (term pruning, full-slot coverage) already
-    happened in Catalyst before this kernel sees a row."""
+    happened in Catalyst before this kernel sees a row.
+
+    counter: kernel implementation to close over (default the
+    vectorized one) — an explicit argument because executors re-import
+    this module, so driver-side monkeypatching of the module global
+    never reaches them (kernel A/Bs must inject here)."""
     from pyspark.sql.functions import pandas_udf
+
+    impl = counter or _min_cover_counts_vec
 
     @pandas_udf("int")
     def cover_count(arrs: pd.Series) -> pd.Series:
-        return pd.Series(_min_cover_counts_vec(list(arrs), window))
+        return pd.Series(impl(list(arrs), window))
 
     # The kernel is pure; asNondeterministic only stops Catalyst from
     # substituting the UDF into the pushed-down tf > 0 filter, which
