@@ -548,7 +548,11 @@ def wand_topk(
             )
     elif return_stats:
         # stats ride the PRODUCTION fused kernel: kept rows double as
-        # the survivor set, the per-query blocks_total rides each row
+        # the survivor set, the per-query blocks_total rides each row.
+        # The persist is shared by the ranking and the stats frame and
+        # is NOT auto-released (both returns are lazy) — return_stats
+        # is a diagnostics path; long-lived services on the default
+        # path never reach it.
         annotated = _fused_survivors(
             block_max, query_terms, k, with_stats=True
         ).persist()
