@@ -56,8 +56,20 @@ def layout_grain(base_partitions: int, parallelism: int, n_docs: int) -> int:
     grain (a FIXED 4x-finer layout measured 24% slower on a 50k-doc
     corpus: tiny partitions with AQE off in query mode can't coalesce)
     and capped at 4x max(shuffle, cores) — size layout_partitions up
-    explicitly for standing batches wider than the design width."""
+    explicitly for standing batches wider than the design width.
+
+    The spill-derived count is rounded UP to a multiple of the shuffle
+    grain: a count that is not a multiple leaves the cache-materialize
+    stage (and every later full pass over the cache) with a ragged last
+    wave — measured at 100k docs / 32 slots, a 40-partition layout ran
+    the cache build as 32 + 8 straggler tasks at 10.7s wall vs 4.9s for
+    the even 64 (two full waves). Rounding to the BASE grain keeps the
+    result a pure function of (est_rows, config) — never of core count
+    — so every local[N] level of the scaling sweep still plans
+    identically (that protocol pins the layout explicitly anyway)."""
     need = -(-DESIGN_BATCH_WIDTH * max(0, n_docs) // SPILL_FREE_ENTRIES_PER_TASK)
+    if need > base_partitions:
+        need = -(-need // base_partitions) * base_partitions
     return int(
         min(4 * max(base_partitions, parallelism), max(base_partitions, need))
     )
@@ -183,14 +195,21 @@ def build_inverted_index(
 
     base = docs.select("doc_id", F.size("tokens").alias("dl"), "tokens")
 
-    stats_row = base.agg(
+    # One tokenize pass serves both the scalar stats AND the doc_stats
+    # cache: persisting doc_stats BEFORE the agg materializes the
+    # (tiny, two-column) cache as a side effect of the stats action, so
+    # later doc_stats consumers never re-tokenize the corpus (they used
+    # to: the lazy persist was only materialized on first downstream
+    # use, which cost a full corpus scan + tokenize).
+    doc_stats = base.select("doc_id", "dl")
+    if cache:
+        doc_stats = doc_stats.persist()
+    stats_row = doc_stats.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
     ).collect()[0]
     n_docs = int(stats_row["n"] or 0)
     total_len = int(stats_row["total"] or 0)
     avgdl = total_len / n_docs if n_docs > 0 else 0.0
-
-    doc_stats = base.select("doc_id", "dl")
 
     # shuffle 1: per-(doc, term) tf with map-side partial aggregation
     tf_df = (
@@ -250,12 +269,31 @@ def build_inverted_index(
 
     if cache:
         postings = postings.persist()
-        doc_stats = doc_stats.persist()
-        term_stats = term_stats.persist()
+        # Derive the RETURNED term_stats from the postings cache instead
+        # of keeping the inline tokenize→explode→agg pipeline: the
+        # collision check below is the first term_stats action, and with
+        # the inline pipeline it re-ran the full corpus tokenize + tf
+        # aggregation (a second complete build pass, ~40% of build wall
+        # at 100k docs) just to cache a vocab-sized table. Deriving from
+        # the (about-to-be-cached) postings costs one cheap agg over the
+        # cache and is value-identical: df = posting count per term (one
+        # row per (term, doc) by construction), idf rides denormalized
+        # (per-term constant, F.first picks it), term_id = xxhash64.
+        term_stats = (
+            postings.groupBy("term", "term_id")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.first("idf").alias("idf"),
+            )
+            .select("term", "df", "idf", "term_id")
+            .persist()
+        )
 
     # term_id collision check: one tiny agg over the vocab-sized
     # term_stats (NOT over postings). Fails loudly rather than letting
-    # two terms silently share postings.
+    # two terms silently share postings. With cache=True this is also
+    # the action that materializes the postings cache (term_stats is
+    # derived from it), so the expensive build job runs exactly once.
     dup = (
         term_stats.groupBy("term_id")
         .count()

@@ -55,39 +55,65 @@ def save_index(
     packed: bool = False,
     block_size: int = 128,
 ) -> dict:
-    """Persist the index; returns the metadata dict written to meta.json."""
+    """Persist the index; returns the metadata dict written to meta.json.
+
+    The component writes are independent jobs over the (cached)
+    postings, so they run from a small thread pool: later jobs back-fill
+    executor slots freed by an earlier job's straggler tail instead of
+    leaving the cluster idle (guide-standard job overlap; the scheduler
+    interleaves their tasks FIFO). Only the lineage scan orders after
+    the postings write it reads back.
+    """
     t0 = time.time()
-    postings = index.postings.repartition(n_buckets, "term").sortWithinPartitions(
-        "term", "doc_id"
-    )
-    postings.write.mode("overwrite").parquet(f"{path}/postings")
-    index.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
-    index.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
 
-    lineage = _partition_lineage(
-        index.spark.read.parquet(f"{path}/postings"), "postings"
-    )
+    def _write_postings():
+        index.postings.repartition(n_buckets, "term").sortWithinPartitions(
+            "term", "doc_id"
+        ).write.mode("overwrite").parquet(f"{path}/postings")
+        return _partition_lineage(
+            index.spark.read.parquet(f"{path}/postings"), "postings"
+        )
 
-    if packed:
+    def _write_stats():
+        index.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+        index.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+
+    def _write_packed():
+        if not packed:
+            return
         from bayesian_bm25_js_spark.operators.compression import pack_postings
 
-        # (term, block_id)-sorted within buckets: term dictionary pages
-        # and the correlated min/max_doc_id columns RLE/delta-compress,
-        # and a term In-filter prunes whole row groups via stats. zstd:
-        # the packed table is the write-once/scan-many archival layout,
-        # where zstd's ~20% size win over snappy costs negligible
-        # decode time next to the varint/FOR unpack itself.
-        pack_postings(index, block_size).repartition(
-            n_buckets, "term"
-        ).sortWithinPartitions("term", "block_id").write.mode(
+        # pack_postings(count mode) already emits term-bucketed
+        # partitions sorted (term, block_id asc) — the exact on-disk
+        # layout — so the write needs NO further exchange: term
+        # dictionary pages and the correlated min/max_doc_id columns
+        # RLE/delta-compress, and a term In-filter prunes whole row
+        # groups via stats. zstd: the packed table is the
+        # write-once/scan-many archival layout, where zstd's ~20% size
+        # win over snappy costs negligible decode time next to the
+        # varint/FOR unpack itself.
+        pack_postings(index, block_size, n_partitions=n_buckets).write.mode(
             "overwrite"
         ).option("compression", "zstd").parquet(f"{path}/packed")
 
-    from bayesian_bm25_js_spark.operators.compression import block_max_table
+    def _write_block_max():
+        from bayesian_bm25_js_spark.operators.compression import block_max_table
 
-    block_max_table(index, block_size).write.mode("overwrite").parquet(
-        f"{path}/block_max"
-    )
+        block_max_table(index, block_size).write.mode("overwrite").parquet(
+            f"{path}/block_max"
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        lineage_f = pool.submit(_write_postings)
+        packed_f = pool.submit(_write_packed)
+        bm_f = pool.submit(_write_block_max)
+        stats_f = pool.submit(_write_stats)
+        lineage = lineage_f.result()
+        packed_f.result()
+        bm_f.result()
+        stats_f.result()
 
     meta = {
         "n_docs": index.n_docs,
