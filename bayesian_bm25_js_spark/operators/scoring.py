@@ -116,6 +116,7 @@ def score_queries(
     query_terms: DataFrame,
     exact_order: bool = False,
     terms_filter: Optional[Sequence[str]] = None,
+    carry_idf: bool = False,
 ) -> DataFrame:
     """-> (query_id, doc_id, score, tf_overlap, dl) for matched docs only.
 
@@ -141,29 +142,23 @@ def score_queries(
     if "is_first" not in qt.columns:
         qt = qt.withColumn("is_first", F.lit(True))
     postings = index.postings
-    # idf is per-TERM: carry it on the broadcast query-terms side
-    # (vocab-sized lookup, joined once per batch) instead of reading
-    # the denormalized column out of the corpus-sized postings cache —
-    # one fewer column decompressed per surviving columnar batch, ~8
-    # bytes/row less DRAM traffic in the scan that dominates query CPU.
-    # The packed layout keeps its own vocab join (push_string_filter
-    # marks it): its postings view already attaches idf post-decode,
-    # and dropping the column there would not remove the join.
-    import os
-
     # carry_idf=False (default since r5): r4 moved idf to the broadcast
-    # query side to avoid decompressing the postings cache's idf column
-    # per row, but same-session A/Bs read it as a per-batch FIXED cost
-    # (one vocab-sized term_stats scan + join per leg) with no
+    # query side (vocab-sized term_stats join per batch) to avoid
+    # decompressing the postings cache's idf column per row, but
+    # same-session A/Bs read it as a per-batch FIXED cost with no
     # measurable scan saving: 50k docs/200 q — warm WAND CPU 12.4s vs
     # 8.2s with it off (-34%); 300k docs/2000 q — 374.6/382.6 vs 376.8
     # (neutral, inside noise). Off wins or ties everywhere measured;
-    # SPARK_CARRY_IDF=1 re-enables for future A/Bs at larger shapes.
+    # carry_idf=True is the explicit A/B knob for larger-shape re-runs
+    # (was the invisible SPARK_CARRY_IDF env switch, VERDICT r5 #2).
+    # The packed layout keeps its own vocab join (push_string_filter
+    # marks it): its postings view already attaches idf post-decode,
+    # and dropping the column there would not remove the join.
     carry_idf = (
-        "idf" in postings.columns
+        carry_idf
+        and "idf" in postings.columns
         and index.term_stats is not None
         and not getattr(index, "push_string_filter", False)
-        and os.environ.get("SPARK_CARRY_IDF") == "1"
     )
     if carry_idf:
         # hint-broadcast the tiny query side: at 100M+ vocab the

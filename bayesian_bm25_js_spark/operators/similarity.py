@@ -393,19 +393,29 @@ def ivf_recall(
     cell-pruned scan the production query path does.
     """
     n_cells = len(centroids)
-    exact = ivf_topk(assigned, centroids, queries, k=k, n_probe=n_cells).select(
-        "query_id", "vec_id"
+    # The exact baseline feeds every probe level's join: persist it for
+    # the duration of the evaluation (scoped — released before return),
+    # else each probe level re-runs the brute-force all-cells scan
+    # (measured: 1 + len(n_probes) recomputations of the most expensive
+    # job in the function).
+    exact = (
+        ivf_topk(assigned, centroids, queries, k=k, n_probe=n_cells)
+        .select("query_id", "vec_id")
+        .persist()
     )
-    denom = exact.count()  # k * n_queries (fewer if corpus < k)
-    # actual query count, not denom/k — the division undercounts
-    # whenever the corpus holds fewer than k vectors (ADVICE r4)
-    out: dict = {
-        "n_queries": int(queries.select("query_id").distinct().count())
-    }
-    for np_ in n_probes:
-        got = ivf_topk(assigned, centroids, queries, k=k, n_probe=np_).select(
-            "query_id", "vec_id"
-        )
-        hit = exact.join(got, ["query_id", "vec_id"]).count()
-        out[int(np_)] = round(hit / denom, 4) if denom else None
+    try:
+        denom = exact.count()  # k * n_queries (fewer if corpus < k)
+        # actual query count, not denom/k — the division undercounts
+        # whenever the corpus holds fewer than k vectors (ADVICE r4)
+        out: dict = {
+            "n_queries": int(queries.select("query_id").distinct().count())
+        }
+        for np_ in n_probes:
+            got = ivf_topk(assigned, centroids, queries, k=k, n_probe=np_).select(
+                "query_id", "vec_id"
+            )
+            hit = exact.join(got, ["query_id", "vec_id"]).count()
+            out[int(np_)] = round(hit / denom, 4) if denom else None
+    finally:
+        exact.unpersist()
     return out

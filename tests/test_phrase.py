@@ -351,29 +351,32 @@ def test_candidate_pruning_parity(spark):
     import bayesian_bm25_js_spark.operators.phrase as _ph
 
     # fixture corpora sit under the size floor; drop it so the pruned
-    # path actually executes here
+    # path actually executes here. try/finally so an assertion failure
+    # can't leak the patched floor into later tests (ADVICE r5).
     _orig_floor = _ph.CANDIDATE_PRUNE_MIN_DOCS
     _ph.CANDIDATE_PRUNE_MIN_DOCS = 0
-    for fn in (phrase_match, proximity_match):
-        kwargs = {"window": 4} if fn is proximity_match else {}
-        base = {
-            (r["query_id"], r["doc_id"]): r["tf"]
-            for r in fn(idx, phrases, **kwargs).collect()
-        }
-        # disable pruning via the shared frontend's limit
-        import bayesian_bm25_js_spark.operators.phrase as ph
-
-        orig = ph._slot_pivot
-        ph._slot_pivot = lambda i, s, candidate_limit=0: orig(i, s, 0)
-        try:
-            off = {
+    try:
+        for fn in (phrase_match, proximity_match):
+            kwargs = {"window": 4} if fn is proximity_match else {}
+            base = {
                 (r["query_id"], r["doc_id"]): r["tf"]
                 for r in fn(idx, phrases, **kwargs).collect()
             }
-        finally:
-            ph._slot_pivot = orig
-        assert base == off, fn.__name__
-    _ph.CANDIDATE_PRUNE_MIN_DOCS = _orig_floor
+            # disable pruning via the shared frontend's limit
+            import bayesian_bm25_js_spark.operators.phrase as ph
+
+            orig = ph._slot_pivot
+            ph._slot_pivot = lambda i, s, candidate_limit=0: orig(i, s, 0)
+            try:
+                off = {
+                    (r["query_id"], r["doc_id"]): r["tf"]
+                    for r in fn(idx, phrases, **kwargs).collect()
+                }
+            finally:
+                ph._slot_pivot = orig
+            assert base == off, fn.__name__
+    finally:
+        _ph.CANDIDATE_PRUNE_MIN_DOCS = _orig_floor
 
 
 def test_min_cover_vectorized_kernel_parity():

@@ -160,29 +160,29 @@ def test_packed_query_path_has_no_doc_stats_join(spark, idx, tmp_path):
     assert "term_stats" in plan, plan
 
 
-def test_postings_scan_idf_carry_modes(spark, idx, monkeypatch):
+def test_postings_scan_idf_carry_modes(spark, idx):
     """carry_idf default (r5): OFF — the idf column is read straight
     out of the denormalized postings cache and score_queries adds NO
     per-batch term_stats scan (same-session A/Bs measured the carried
     variant as a fixed per-batch cost with no scan saving: warm WAND
     CPU 12.4s->8.2s off at 50k docs, neutral at 300k). The opt-in
-    SPARK_CARRY_IDF=1 path must still column-prune idf out of the
-    postings scan leaves — the variant a larger-shape A/B would
-    re-enable."""
+    carry_idf=True parameter (r6: was the invisible SPARK_CARRY_IDF
+    env switch) must still column-prune idf out of the postings scan
+    leaves — the variant a larger-shape A/B would re-enable."""
     from bayesian_bm25_js_spark.plans.audit import inmemory_scan_columns
     from bayesian_bm25_js_spark.operators.compression import block_max_table
     from bayesian_bm25_js_spark.operators.wand import wand_topk
 
     # default: idf comes from the cache scan
-    monkeypatch.delenv("SPARK_CARRY_IDF", raising=False)
     scores = score_queries(idx, queries_to_df(spark, [["cat", "dog"]]))
     scans = [c for c in inmemory_scan_columns(scores) if "tf" in c]
     assert scans, "no postings InMemoryTableScan found in plan"
     assert any("idf" in names for names in scans), scans
 
     # opt-in carry: postings scan leaves are idf-free (column pruned)
-    monkeypatch.setenv("SPARK_CARRY_IDF", "1")
-    scores = score_queries(idx, queries_to_df(spark, [["cat", "dog"]]))
+    scores = score_queries(
+        idx, queries_to_df(spark, [["cat", "dog"]]), carry_idf=True
+    )
     scans = [c for c in inmemory_scan_columns(scores) if "tf" in c]
     assert scans, "no postings InMemoryTableScan found in plan"
     for names in scans:
@@ -193,7 +193,10 @@ def test_postings_scan_idf_carry_modes(spark, idx, monkeypatch):
     # scan is the scoring join side, which must be idf-free under carry
     bm = block_max_table(idx, 16).persist()
     bm.count()
-    ranked = wand_topk(idx, queries_to_df(spark, [["cat", "dog"]]), 3, block_max=bm)
+    ranked = wand_topk(
+        idx, queries_to_df(spark, [["cat", "dog"]]), 3, block_max=bm,
+        carry_idf=True,
+    )
     wscans = [c for c in inmemory_scan_columns(ranked) if "tf" in c]
     bm.unpersist()
     assert wscans, "no postings InMemoryTableScan found in wand plan"
