@@ -279,6 +279,10 @@ def build_inverted_index(
         # cache and is value-identical: df = posting count per term (one
         # row per (term, doc) by construction), idf rides denormalized
         # (per-term constant, F.first picks it), term_id = xxhash64.
+        # grouping keeps the string key alongside term_id so the
+        # collision check below stays sound (two colliding terms yield
+        # two rows with one term_id; a term_id-only grouping would
+        # silently merge them — and measured no faster anyway).
         term_stats = (
             postings.groupBy("term", "term_id")
             .agg(

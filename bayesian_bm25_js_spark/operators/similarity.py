@@ -410,12 +410,21 @@ def ivf_recall(
         out: dict = {
             "n_queries": int(queries.select("query_id").distinct().count())
         }
-        for np_ in n_probes:
+
+        def _probe_hits(np_):
             got = ivf_topk(assigned, centroids, queries, k=k, n_probe=np_).select(
                 "query_id", "vec_id"
             )
-            hit = exact.join(got, ["query_id", "vec_id"]).count()
-            out[int(np_)] = round(hit / denom, 4) if denom else None
+            return exact.join(got, ["query_id", "vec_id"]).count()
+
+        # the probe levels are independent latency-bound jobs over the
+        # cached baseline/assignment; overlap them so one level's
+        # stage tail back-fills with the next level's tasks
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for np_, hit in zip(n_probes, pool.map(_probe_hits, n_probes)):
+                out[int(np_)] = round(hit / denom, 4) if denom else None
     finally:
         exact.unpersist()
     return out

@@ -67,12 +67,25 @@ def ingest_epoch(batch_df: DataFrame, epoch_id: int, path: str) -> None:
         .agg(F.count(F.lit(1)).cast("int").alias("tf"))
         .select("term", "doc_id", "tf", "dl")
     )
-    tf.write.mode("overwrite").parquet(
-        f"{path}/postings_delta/epoch={int(epoch_id)}"
-    )
-    base.select("doc_id", "dl").write.mode("overwrite").parquet(
-        f"{path}/doc_stats_delta/epoch={int(epoch_id)}"
-    )
+    # the two delta writes are independent jobs over the same batch;
+    # overlapping them lets the (tiny) doc_stats write back-fill the
+    # executor slots freed by the tf job's tail instead of running as
+    # its own serial latency-bound job afterwards
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(
+            lambda: tf.write.mode("overwrite").parquet(
+                f"{path}/postings_delta/epoch={int(epoch_id)}"
+            )
+        )
+        f2 = pool.submit(
+            lambda: base.select("doc_id", "dl")
+            .write.mode("overwrite")
+            .parquet(f"{path}/doc_stats_delta/epoch={int(epoch_id)}")
+        )
+        f1.result()
+        f2.result()
 
 
 def start_index_ingest(
