@@ -54,6 +54,11 @@ from bayesian_bm25_js_spark.operators.scoring import isin_filter, top_k
 # _slot_pivot): below this the pruning's two fixed driver actions cost
 # more than the whole fan-in (measured at 5k docs: 1.7s vs 1.0s).
 CANDIDATE_PRUNE_MIN_DOCS = 50_000
+# Per-query selectivity gate: a query joins the candidate probe only
+# when its RAREST term's df is under this fraction of the corpus —
+# the same "nothing selective to exploit" threshold the WAND router
+# uses (route_queries hot_df_frac). All-hot queries skip the probe.
+PRUNE_HOT_DF_FRAC = 0.10
 
 
 @dataclass
@@ -204,9 +209,19 @@ def _slot_pivot(
     into the main join — a hot slot's row then dies at the probe
     BEFORE its position array is ever materialized out of the columnar
     cache (probe columns term_id/doc_id precede the array access in
-    the codegen'd join stage). Skipped when Σ min-df exceeds
-    candidate_limit (nothing selective to exploit — the broadcast
-    would cost more than the fan-in it kills)."""
+    the codegen'd join stage).
+
+    Per-query gating (same hot_df_frac spirit as the WAND router): a
+    query whose RAREST term is still ubiquitous (min-df ≥
+    PRUNE_HOT_DF_FRAC × n_docs) gains ~nothing from the probe while its
+    near-corpus-sized candidate rows dominate the broadcast build —
+    measured ~1.3s of pure cand-build cost per hot-pair batch at 100k
+    docs with the kernel saving a wash. Such queries bypass the probe
+    (a left probe + pass-through filter when the batch mixes both
+    kinds; no probe at all when every query is hot). Pruning is also
+    skipped entirely when Σ min-df over the gated queries exceeds
+    candidate_limit (the broadcast would cost more than the fan-in it
+    kills)."""
     spark = index.postings.sparkSession
     slots = _phrases_to_slots(spark, slot_lists)
     max_len = max(len(p) for p in slot_lists)
@@ -236,14 +251,21 @@ def _slot_pivot(
     ):
         df_by_id = index.df_lookup_ids(ids)
         term_ids = {t: i for t, i in zip(all_terms, ids)}
-        rare = []  # (query_id, rare_term_id)
+        # per-query gate: only queries with a genuinely SELECTIVE
+        # rarest term join the probe — a query whose min-df is already
+        # ≥ hot_floor keeps ~its full fan-in either way, while its
+        # near-corpus-sized candidate rows would dominate the broadcast
+        # build cost (the WAND router's hot_df_frac rationale).
+        hot_floor = PRUNE_HOT_DF_FRAC * index.n_docs
+        rare = []  # (query_id, rare_term_id) — gated queries only
         total = 0
         for qid, terms in enumerate(slot_lists):
             dfs = [(df_by_id.get(term_ids[t], 0), term_ids[t]) for t in set(terms)]
             min_df, rare_id = min(dfs)
-            total += min_df
-            rare.append((qid, rare_id))
-        if total <= candidate_limit:
+            if min_df < hot_floor:
+                total += min_df
+                rare.append((qid, rare_id))
+        if rare and total <= candidate_limit:
             # shift sized from the ACTUAL max doc id, not n_docs: a
             # corpus with sparse (e.g. hash-derived) doc ids would
             # otherwise collide packed keys silently (ADVICE r5). One
@@ -259,10 +281,29 @@ def _slot_pivot(
                     .alias("__qd")
                 )
             )
-            joined = joined.withColumn(
-                "__qd",
-                F.shiftleft(F.col("query_id"), shift) + F.col("doc_id"),
-            ).join(F.broadcast(cand), "__qd").drop("__qd")
+            pack = F.shiftleft(F.col("query_id"), shift) + F.col("doc_id")
+            if len(rare) == len(slot_lists):
+                # every query gated in: plain inner probe
+                joined = joined.withColumn("__qd", pack).join(
+                    F.broadcast(cand), "__qd"
+                ).drop("__qd")
+            else:
+                # mixed batch: gated queries probe the candidate set,
+                # ungated (all-hot) queries pass through untouched
+                gated = {qid for qid, _ in rare}
+                joined = (
+                    joined.withColumn("__qd", pack)
+                    .join(
+                        F.broadcast(cand.withColumn("__hit", F.lit(1))),
+                        "__qd",
+                        "left",
+                    )
+                    .filter(
+                        F.col("__hit").isNotNull()
+                        | ~isin_filter("query_id", sorted(gated))
+                    )
+                    .drop("__qd", "__hit")
+                )
     pivots = [
         F.max(F.when(F.col("slot") == i, F.col("positions"))).alias(f"p{i}")
         for i in range(max_len)

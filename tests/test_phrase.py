@@ -413,3 +413,50 @@ def test_min_cover_vectorized_kernel_parity():
             ref = _min_cover_counts_ref(rows, w)
             vec = _min_cover_counts_vec(rows, w)
             assert (ref == vec).all(), (w, rows)
+
+
+def test_prune_hot_query_gate(spark):
+    """Per-query selectivity gate (r6): queries whose RAREST term is
+    ubiquitous (min-df >= PRUNE_HOT_DF_FRAC * n_docs) must bypass the
+    candidate probe — an all-hot batch plans NO probe join at all —
+    and a mixed batch's hot queries pass through the left probe with
+    results identical to pruning disabled."""
+    import random
+
+    import bayesian_bm25_js_spark.operators.phrase as _ph
+    from bayesian_bm25_js_spark.operators.phrase import (
+        _slot_pivot,
+        proximity_match,
+    )
+
+    rng = random.Random(11)
+    corpus = []
+    for i in range(60):
+        doc = ["hot", "warm"] * rng.randint(1, 3)  # both terms everywhere
+        if i % 7 == 0:
+            doc += ["rare", "hot"]
+        rng.shuffle(doc)
+        corpus.append(doc)
+    idx = build_positional_index(_docs_df(spark, corpus), cache=False)
+
+    orig = _ph.CANDIDATE_PRUNE_MIN_DOCS
+    _ph.CANDIDATE_PRUNE_MIN_DOCS = 0
+    try:
+        # all-hot batch: no probe join in the plan (no broadcast of a
+        # packed candidate column)
+        g, _ = _slot_pivot(idx, [["hot", "warm"], ["warm", "hot"]])
+        assert "__qd" not in g._jdf.queryExecution().analyzed().toString()
+
+        # mixed batch: parity with pruning disabled
+        queries = [["hot", "warm"], ["rare", "hot"], ["hot"]]
+        base = {
+            (r["query_id"], r["doc_id"]): r["tf"]
+            for r in proximity_match(idx, queries, 4).collect()
+        }
+        off = {
+            (r["query_id"], r["doc_id"]): r["tf"]
+            for r in proximity_match(idx, queries, 4, candidate_limit=0).collect()
+        }
+        assert base == off
+    finally:
+        _ph.CANDIDATE_PRUNE_MIN_DOCS = orig
