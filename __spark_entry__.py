@@ -251,8 +251,22 @@ def q_streaming_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(f"{path}/meta.json", "w") as f:
             json.dump({"k1": K1, "b": B, "method": "lucene"}, f)
         docs = _docs(spark, sf_dir)
-        for epoch in range(3):
-            ingest_epoch(docs.filter(F.col("doc_id") % 3 == epoch), epoch, path)
+        # batch backfill: the three epoch ingests write disjoint
+        # epoch=N directories and share no state, so they run as
+        # concurrent jobs (each epoch's tail back-fills the others'
+        # freed slots); the streaming path proper still sequences
+        # epochs through foreachBatch as before.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(
+                pool.map(
+                    lambda epoch: ingest_epoch(
+                        docs.filter(F.col("doc_id") % 3 == epoch), epoch, path
+                    ),
+                    range(3),
+                )
+            )
         _STREAM_IDX_CACHE[key] = load_streaming_index(spark, path)
     scores = score_queries(
         _STREAM_IDX_CACHE[key], queries_to_df(spark, QUERY_SET)
